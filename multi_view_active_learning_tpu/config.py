@@ -1,0 +1,302 @@
+"""Typed configuration tree with YAML overrides.
+
+Replaces the reference's yacs config stack (reference: config.py:13-106,
+dataset/config.py:10-51, pose_estimators/config.py:10-56) with plain
+dataclasses.  The option inventory and defaults match the reference so a
+user's experiment YAML ports unchanged; TPU-specific knobs live under
+``cfg.TPU``.
+
+YAML override semantics follow yacs ``merge_from_file``: nested keys map to
+nested dataclasses, unknown keys raise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import yaml
+
+
+@dataclass
+class SALConfig:
+    # Pseudo-label frame schedule per AL iteration (reference: config.py:28).
+    NUM_FRAMES: List[int] = field(
+        default_factory=lambda: [0, 20, 20, 30, 30, 40, 40, 50, 50, 50]
+    )
+    INLIER_THRESHOLD: int = 7
+    CLUSTER_FILE_PATH: str = ""
+    NUM_CLUSTERS: int = 10
+
+
+@dataclass
+class ALInferenceConfig:
+    # For AL_EVAL experiments.
+    TRAINING_EXPR_NAME: str = ""
+    # For EVAL experiments.
+    RESTORE_FROM: str = ""
+    BATCH_SIZE: int = 2
+    NUM_WORKERS: int = 2
+
+
+@dataclass
+class ALClusterConfig:
+    # Cluster by LOSS or by POSE (reference: config.py:70-73).
+    TYPE: str = "LOSS"
+    SAVE_PATH: str = ""
+    RESTORE_FROM: str = ""
+
+
+@dataclass
+class ALConfig:
+    # Strategies: HP | BSB | RANDOM | MPE | TRIANGULATION | CORESET
+    # (reference: config.py:34-41).
+    STRATEGY: str = "RANDOM"
+    INITIAL_AMOUNT: int = 200
+    ITER_AMOUNT: int = 100
+    START_ITER: int = 0
+    PREVIOUS_AL_LOG_DIR: str = ""
+    ITERATIONS: int = 10
+    # For the TRIANGULATION strategy (reference: config.py:48-51).
+    USE_SOFTARGMAX: bool = False
+    USE_REPROJECTION_XE: bool = False
+    REPROJECTION_SIGMA: float = 1.0
+    # AVG or STD aggregation for per-(view, joint) metrics.
+    MPE_CONFIG: str = "AVG"
+    BSB_CONFIG: str = "AVG"
+    HP_CONFIG: str = "AVG"
+    # RANSAC budget: number of view pairs per joint.  -1 means all C(V,2)
+    # pairs (exact, deterministic — the TPU-native default); a positive value
+    # subsamples with a seeded permutation like the reference's shuffle
+    # (reference: utils/triangulation.py:279-282).
+    RANSAC_N_ITERS: int = -1
+    RANSAC_EPSILON: float = 5.0
+    INFERENCE: ALInferenceConfig = field(default_factory=ALInferenceConfig)
+    CLUSTER: ALClusterConfig = field(default_factory=ALClusterConfig)
+    # Runtime-computed (reference adds it to cfg at workflow.py:249).
+    CURRENT_ITER: int = 0
+
+
+@dataclass
+class OptimConfig:
+    TOTAL_STEPS: int = 5000
+    LR: float = 0.001
+    LR_DECAY_STEP_SIZE: int = 3000
+    # torch StepLR default gamma.
+    LR_DECAY_RATE: float = 0.1
+
+
+@dataclass
+class TrainConfig:
+    INIT_WEIGHT: str = ""
+    AL_FIRST_BATCH_WEIGHTS: str = ""
+    LOSS_CLIP_VALUE: float = 10.0
+    RESTORE_FROM: str = ""
+    FULLY_SUPERVISED_FRAME_COUNT: int = -1
+    SIZE: int = -1
+    VAL_SIZE: int = 320
+    BATCH_SIZE: int = 2
+    NUM_WORKERS: int = 2
+    LOG_EVERY_ITER: int = 500
+    OPTIM: OptimConfig = field(default_factory=OptimConfig)
+
+
+@dataclass
+class EvalConfig:
+    # "2DPCKH", "3DPCK", "3DPCKH", "MKPE"
+    METRIC: str = "3DPCK"
+
+
+@dataclass
+class HRNetStageConfig:
+    NUM_MODULES: int = 1
+    NUM_BRANCHES: int = 2
+    BLOCK: str = "BASIC"
+    NUM_BLOCKS: List[int] = field(default_factory=lambda: [4, 4])
+    NUM_CHANNELS: List[int] = field(default_factory=lambda: [32, 64])
+    FUSE_METHOD: str = "SUM"
+
+
+@dataclass
+class HRNetConfig:
+    PRETRAINED_LAYERS: List[str] = field(
+        default_factory=lambda: [
+            "conv1", "bn1", "conv2", "bn2", "layer1",
+            "transition1", "stage2", "transition2", "stage3",
+        ]
+    )
+    FINAL_CONV_KERNEL: int = 1
+    STAGE2: HRNetStageConfig = field(default_factory=HRNetStageConfig)
+    STAGE3: HRNetStageConfig = field(
+        default_factory=lambda: HRNetStageConfig(
+            NUM_MODULES=4, NUM_BRANCHES=3, NUM_BLOCKS=[4, 4, 4],
+            NUM_CHANNELS=[32, 64, 128],
+        )
+    )
+    STAGE4: HRNetStageConfig = field(
+        default_factory=lambda: HRNetStageConfig(
+            NUM_MODULES=3, NUM_BRANCHES=4, NUM_BLOCKS=[4, 4, 4, 4],
+            NUM_CHANNELS=[32, 64, 128, 256],
+        )
+    )
+
+
+@dataclass
+class PoseEstimatorConfig:
+    # POSE_RESNET or HRNET (reference: pose_estimators/config.py:11).
+    TYPE: str = "POSE_RESNET"
+    LOAD_CNN_WEIGHTS: bool = True
+    STRIDE: int = 4
+    NUM_LAYERS: int = 50  # PoseResNet depth: 18/34/50/101/152.
+    HRNET: HRNetConfig = field(default_factory=HRNetConfig)
+
+
+@dataclass
+class PanopticConfig:
+    HOME: str = ""
+    TRAIN_VAL_SPLIT: str = ""
+    LABEL_PATH: str = ""
+    GT_BOXES: str = ""
+    SAMPLE_RATE: int = 25
+
+
+@dataclass
+class IH26MConfig:
+    HOME: str = ""
+    CAPTURE_RANGE: List[int] = field(default_factory=lambda: [0, 10])
+    TEST_CAPTURE_RANGE: List[int] = field(default_factory=lambda: [0, 1])
+    NUM_VIEW_PER_FRAME: int = 16
+    TEST_NUM_VIEW_PER_FRAME: int = 32
+
+
+@dataclass
+class DataConfig:
+    PANOPTIC: PanopticConfig = field(default_factory=PanopticConfig)
+    IH26M: IH26MConfig = field(default_factory=IH26MConfig)
+    # "panoptic", "ih26m", or "synthetic" (synthetic rigs for tests/bench).
+    TYPE: str = "panoptic"
+    SYNTHETIC_ROOT: str = ""
+    INPUT_WIDTH: int = 256
+    INPUT_HEIGHT: int = 256
+    SCALE_BBOX: float = 1.0
+    SIGMA: float = 1.0
+    PSEUDO_LABEL_SIGMA: float = 1.0
+    EPOCH_SIZE: int = 2000
+    # 19 for panoptic; 42 for ih26m.
+    NUM_JOINTS: int = 19
+    # Augmentation (reference: dataset/config.py:43-47).
+    NUM_AUG: int = 0
+    AUG_MAGNITUDE: int = 0
+    USE_ROTATION: bool = True
+    USE_IMAGE_AUG: bool = True
+    USE_CONST_AUG_MAGNITUDE: bool = True
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native knobs with no reference equivalent."""
+
+    # Mesh axis sizes.  -1 infers from jax.device_count(): all devices go to
+    # 'data' unless VIEW_AXIS > 1.
+    DATA_AXIS: int = -1
+    VIEW_AXIS: int = 1
+    # Model compute dtype ("bfloat16" or "float32"); params stay f32.
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Rematerialize backbone stages in the train step to trade FLOPs for HBM.
+    REMAT: bool = False
+    # DLT solver: "eigh" (4x4 normal equations, MXU-friendly) or "svd"
+    # (reference-parity path through jnp.linalg.svd).
+    DLT_METHOD: str = "eigh"
+    # Use Pallas kernels where available (coreset pairwise distances, fused
+    # heatmap decode).  Falls back to pure-XLA implementations when False or
+    # when the backend lacks Pallas support.
+    USE_PALLAS: bool = True
+
+
+@dataclass
+class Config:
+    EXPR_NAME: str = "EXPR"
+    # AL | SAL | SUPERVISED | AL_EVAL | EVAL | CLUSTER
+    # (reference: config.py:14-22; the reference's "CLUSETER" typo at
+    # workflow.py:99 is fixed here).
+    EXPR_TYPE: str = "SUPERVISED"
+    LOG_DIR: str = "/tmp/mval_tpu_logs"
+    COMMENT: str = "N/A"
+    RANDOM_SEED: int = 1307
+    RESULTS: str = ""
+    SAL: SALConfig = field(default_factory=SALConfig)
+    AL: ALConfig = field(default_factory=ALConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    EVAL: EvalConfig = field(default_factory=EvalConfig)
+    POSE_ESTIMATOR: PoseEstimatorConfig = field(default_factory=PoseEstimatorConfig)
+    DATA: DataConfig = field(default_factory=DataConfig)
+    TPU: TPUConfig = field(default_factory=TPUConfig)
+
+    def clone(self) -> "Config":
+        return _clone(self)
+
+    def dump(self) -> str:
+        return yaml.safe_dump(dataclasses.asdict(self), sort_keys=False)
+
+    def merge_from_file(self, path: str) -> None:
+        with open(path) as f:
+            overrides = yaml.safe_load(f) or {}
+        _merge(self, overrides, path=[])
+
+    def merge_from_dict(self, overrides: dict) -> None:
+        _merge(self, overrides, path=[])
+
+
+def _clone(node: Any) -> Any:
+    if dataclasses.is_dataclass(node):
+        return type(node)(
+            **{
+                f.name: _clone(getattr(node, f.name))
+                for f in dataclasses.fields(node)
+            }
+        )
+    if isinstance(node, list):
+        return [_clone(v) for v in node]
+    if isinstance(node, dict):
+        return {k: _clone(v) for k, v in node.items()}
+    return node
+
+
+def _merge(node: Any, overrides: dict, path: List[str]) -> None:
+    for key, value in overrides.items():
+        if not hasattr(node, key):
+            raise KeyError(
+                "Unknown config key: %s" % ".".join(path + [str(key)])
+            )
+        current = getattr(node, key)
+        if dataclasses.is_dataclass(current):
+            if not isinstance(value, dict):
+                raise TypeError(
+                    "Config node %s expects a mapping, got %r"
+                    % (".".join(path + [str(key)]), value)
+                )
+            _merge(current, value, path + [str(key)])
+        else:
+            if current is not None and value is not None:
+                expected = type(current)
+                if expected in (int, float) and isinstance(value, (int, float)):
+                    value = expected(value)
+                elif not isinstance(value, expected):
+                    raise TypeError(
+                        "Config key %s expects %s, got %r"
+                        % (".".join(path + [str(key)]), expected.__name__, value)
+                    )
+            setattr(node, key, value)
+
+
+def get_default_configs() -> Config:
+    return Config()
+
+
+def load_config(path: Optional[str] = None) -> Config:
+    cfg = get_default_configs()
+    if path:
+        cfg.merge_from_file(path)
+    return cfg

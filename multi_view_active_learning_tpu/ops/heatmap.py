@@ -1,0 +1,122 @@
+"""Heatmap synthesis and decoding, batched on device.
+
+Replaces three reference hot paths:
+  * GT Gaussian heatmap synthesis in the data loader
+    (reference: dataset/dataset.py:198-207) — here a single vectorized op
+    over [..., K] keypoints, run on device for whole batches.
+  * Hard-argmax 2D decode (reference: utils/evaluation.py:13-30) — the
+    per-sample/per-joint Python loop becomes one reshape+argmax.
+  * kornia.spatial_soft_argmax2d (reference: utils/triangulation.py:192-199)
+    — softmax-expectation over the spatial grid.
+
+All functions treat the trailing two axes as (h, w) and broadcast over any
+leading batch axes, so they compose with vmap/shard_map without reshaping.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def render_gaussian_heatmaps(
+    keypoints: jnp.ndarray,
+    height: int,
+    width: int,
+    sigma: float,
+) -> jnp.ndarray:
+    """Render unnormalized Gaussians exp(-||p - kp||^2 / (2 sigma^2)).
+
+    keypoints: [..., 2] in heatmap-grid coordinates (x, y).
+    Returns [..., height, width] float32.
+
+    Matches the reference's GT formula exactly
+    (dataset/dataset.py:201-207): grid[..., 0] = x index, grid[..., 1] = y.
+    """
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    kx = keypoints[..., 0:1]  # [..., 1]
+    ky = keypoints[..., 1:2]
+    dx2 = jnp.square(xs - kx)  # [..., width]
+    dy2 = jnp.square(ys - ky)  # [..., height]
+    exponent = dy2[..., :, None] + dx2[..., None, :]  # [..., h, w]
+    return jnp.exp(-exponent / (2.0 * (sigma**2)))
+
+
+def decode_argmax(
+    heatmaps: jnp.ndarray, stride: float = 1.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hard-argmax decode: [..., h, w] -> (coords [..., 2], peak value [...]).
+
+    coords are (x, y) * stride, matching the reference decode
+    (utils/evaluation.py:24-27): x = idx % w, y = idx // w.
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
+    idx = jnp.argmax(flat, axis=-1)
+    peak = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    x = (idx % w).astype(jnp.float32) * stride
+    y = (idx // w).astype(jnp.float32) * stride
+    return jnp.stack([x, y], axis=-1), peak
+
+
+def soft_argmax(
+    heatmaps: jnp.ndarray,
+    stride: float = 1.0,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Spatial soft-argmax: softmax-weighted expected (x, y) coordinates.
+
+    Equivalent to kornia.spatial_soft_argmax2d(normalized_coordinates=False)
+    as used at reference utils/triangulation.py:192-199, scaled by `stride`.
+    heatmaps: [..., h, w] -> coords [..., 2].
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
+    probs = jax.nn.softmax(temperature * flat, axis=-1)
+    probs = probs.reshape(heatmaps.shape[:-2] + (h, w))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    x = jnp.sum(probs, axis=-2) @ xs  # marginalize rows, expect over x
+    y = jnp.sum(probs, axis=-1) @ ys
+    return jnp.stack([x, y], axis=-1) * stride
+
+
+def decode_keypoints(
+    heatmaps: jnp.ndarray,
+    stride: float,
+    valid: jnp.ndarray,
+    use_soft_argmax: bool = False,
+) -> jnp.ndarray:
+    """Decode [..., K, h, w] heatmaps to image-space keypoints [..., K, 2].
+
+    Invalid joints decode to (0, 0), matching reference
+    utils/evaluation.py:21-23.  `valid`: [..., K] bool.
+    """
+    if use_soft_argmax:
+        coords = soft_argmax(heatmaps, stride=stride)
+    else:
+        coords, _ = decode_argmax(heatmaps, stride=stride)
+    return jnp.where(valid[..., None], coords, jnp.zeros_like(coords))
+
+
+def heatmap_mse_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    joint_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Masked heatmap MSE with the reference's normalization: summed squared
+    error divided by (leading batch dim * h * w) — NOT by joint count
+    (reference: pose_estimators/loss.py:14-20).
+
+    pred/target: NHWC [N, h, w, K]; shapes must match.
+    joint_valid: boolean mask broadcastable to pred's shape
+    (e.g. [N, 1, 1, K] for per-(sample, joint) validity).
+    """
+    err = jnp.square(pred - target)
+    if joint_valid is not None:
+        err = jnp.where(joint_valid, err, jnp.zeros_like(err))
+    n, h, w = pred.shape[0], pred.shape[1], pred.shape[2]
+    return jnp.sum(err) / (n * h * w)

@@ -1,0 +1,258 @@
+"""Batched RANSAC-DLT triangulation, fully on device.
+
+The reference triangulates with nested Python loops — per frame, per joint,
+per RANSAC view-pair — calling numpy SVD each time and bouncing heatmaps
+GPU->CPU (reference: utils/triangulation.py:168-338, driven from
+strategy.py:1004-1147).  That loop is the dominant cost of an AL scoring
+pass.
+
+TPU-native redesign (no dynamic shapes anywhere):
+  * The RANSAC pair set is a *static* [P, 2] array of view-index pairs
+    (all C(V, 2) combinations by default; optionally a seeded subset to
+    mirror the reference's shuffle-truncate at utils/triangulation.py:279-282).
+  * Every pair is triangulated at once: DLT row vectors are built for all
+    views in one einsum, pair systems are 4x4, and the null vector comes from
+    eigh on A^T A (or SVD for the reference-parity path).
+  * Inlier sets are boolean masks [P, V]; "largest inlier set wins, first on
+    ties" is an argmax — identical selection semantics to the reference's
+    strictly-greater update over combination order
+    (utils/triangulation.py:293-307).
+  * The final re-triangulation over the winning inlier set is a masked DLT:
+    a zero row contributes nothing to A^T A, so masking rows is exactly
+    equivalent to removing them.
+  * vmap over joints and frames; shard over the ('data',) mesh axis upstream.
+
+Everything is float32.  For Panoptic-scale projection matrices (entries up
+to ~1e5) the normal-equations path squares the conditioning; the `svd`
+method is the fallback when bit-level agreement with float64 references
+matters (see TPUConfig.DLT_METHOD).
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry, heatmap
+
+
+def all_view_pairs(num_views: int, n_iters: int = -1, seed: int = 0) -> np.ndarray:
+    """Static RANSAC pair set: all C(V, 2) pairs in combination order.
+
+    When 0 < n_iters < C(V, 2), a seeded permutation picks n_iters pairs,
+    mirroring the reference's shuffle-truncate (utils/triangulation.py:279-282)
+    but deterministically.
+    """
+    pairs = np.array(list(itertools.combinations(range(num_views), 2)), dtype=np.int32)
+    if 0 < n_iters < len(pairs):
+        rng = np.random.default_rng(seed)
+        pairs = pairs[rng.permutation(len(pairs))[:n_iters]]
+    return pairs
+
+
+def _dlt_rows(proj: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Build DLT rows for all views at once.
+
+    proj: [V, 3, 4]; points: [V, 2] -> rows [V, 2, 4] where
+    rows[v, 0] = x_v * P_v[2] - P_v[0], rows[v, 1] = y_v * P_v[2] - P_v[1]
+    (reference: utils/triangulation.py:341-368).
+    """
+    ax = points[:, 0:1] * proj[:, 2, :] - proj[:, 0, :]  # [V, 4]
+    ay = points[:, 1:2] * proj[:, 2, :] - proj[:, 1, :]
+    return jnp.stack([ax, ay], axis=1)  # [V, 2, 4]
+
+
+def _null_vector(A: jnp.ndarray, method: str) -> jnp.ndarray:
+    """Smallest right-singular vector of A: [..., R, 4] -> [..., 4]."""
+    if method == "eigh":
+        M = jnp.einsum("...ri,...rj->...ij", A, A)  # A^T A, [..., 4, 4]
+        _, vecs = jnp.linalg.eigh(M)  # ascending eigenvalues
+        return vecs[..., :, 0]
+    elif method == "svd":
+        _, _, vh = jnp.linalg.svd(A, full_matrices=False)
+        return vh[..., 3, :]
+    raise ValueError("Unknown DLT method: %s" % method)
+
+
+def dlt_triangulate(
+    proj: jnp.ndarray,
+    points: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    method: str = "eigh",
+) -> jnp.ndarray:
+    """Weighted/masked DLT for one 3D point from V views.
+
+    proj: [V, 3, 4]; points: [V, 2]; weights: [V] (None = all ones).
+    Masking a view with weight 0 zeroes its rows — exactly equivalent to
+    dropping it from the system.  Returns [3].
+    """
+    rows = _dlt_rows(proj, points)  # [V, 2, 4]
+    if weights is not None:
+        rows = rows * weights[:, None, None]
+    A = rows.reshape(-1, 4)  # [2V, 4]
+    h = _null_vector(A, method)
+    return geometry.homogeneous_to_euclidean(h[None, :])[0]
+
+
+def _ransac_single_joint(
+    proj: jnp.ndarray,
+    points: jnp.ndarray,
+    pairs: jnp.ndarray,
+    epsilon: float,
+    method: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape RANSAC for one joint.
+
+    proj: [V, 3, 4]; points: [V, 2]; pairs: [P, 2] static view indices.
+    Returns (keypoint_3d [3], mean inlier reprojection error [], inlier
+    count []).  Selection semantics match reference
+    utils/triangulation.py:284-316: sampled views always count as inliers,
+    largest set wins, first (in pair order) wins ties, final estimate and
+    error are recomputed on the winning set.
+    """
+    num_views = proj.shape[0]
+    rows = _dlt_rows(proj, points)  # [V, 2, 4]
+
+    # --- hypothesis stage: triangulate every pair at once -------------------
+    pair_rows = rows[pairs]  # [P, 2, 2, 4]
+    A_pairs = pair_rows.reshape(pairs.shape[0], 4, 4)
+    h = _null_vector(A_pairs, method)  # [P, 4]
+    x_pairs = geometry.homogeneous_to_euclidean(h)  # [P, 3]
+
+    # --- scoring stage: reproject every hypothesis into every view ----------
+    err = geometry.reprojection_error(
+        x_pairs[:, None, :], points[None, :, None, :], proj[None]
+    )[..., 0]  # [P, V]
+    sampled = (
+        jax.nn.one_hot(pairs[:, 0], num_views, dtype=jnp.bool_)
+        | jax.nn.one_hot(pairs[:, 1], num_views, dtype=jnp.bool_)
+    )  # [P, V]
+    inliers = (err < epsilon) | sampled  # [P, V]
+    counts = jnp.sum(inliers, axis=-1)  # [P]
+    best = jnp.argmax(counts)  # first max == reference tie-break
+    best_mask = inliers[best].astype(jnp.float32)  # [V]
+
+    # --- refit stage: masked DLT over the winning inlier set ----------------
+    keypoint_3d = dlt_triangulate(proj, points, weights=best_mask, method=method)
+    final_err = geometry.reprojection_error(
+        keypoint_3d[None, :], points[:, None, :], proj
+    )[..., 0]  # [V]
+    inlier_total = jnp.sum(best_mask)
+    mean_err = jnp.sum(final_err * best_mask) / inlier_total
+    return keypoint_3d, mean_err, inlier_total
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stride",
+        "use_soft_argmax",
+        "use_reprojection_xe",
+        "sigma",
+        "epsilon",
+        "method",
+    ),
+)
+def triangulate_frames(
+    heatmaps: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    valid_joints: jnp.ndarray,
+    pairs: jnp.ndarray,
+    stride: int = 4,
+    use_soft_argmax: bool = False,
+    use_reprojection_xe: bool = False,
+    sigma: float = 1.0,
+    epsilon: float = 5.0,
+    method: str = "eigh",
+) -> Dict[str, jnp.ndarray]:
+    """Triangulate a whole batch of multi-view frames in one compiled call.
+
+    Args:
+      heatmaps: [B, V, h, w, K] (NHWC per view — the model's native layout).
+      proj_matrices: [B, V, 3, 4].
+      valid_joints: [B, K] bool.
+      pairs: [P, 2] static RANSAC pair set from `all_view_pairs`.
+      stride: heatmap-to-image stride.
+
+    Returns dict with:
+      keypoints_3d: [B, K, 3] (zeros at invalid joints),
+      keypoints_2d: [B, V, K, 2] image-space decodes,
+      metric: [B] mean reprojection error over valid joints, or the
+        reprojection-XE score when use_reprojection_xe,
+      inlier_count: [B] min inlier count over valid joints,
+      per_joint_error: [B, K], per_joint_inliers: [B, K].
+
+    Reference contract: utils/triangulation.py:168-233.
+    """
+    B, V, h, w, K = heatmaps.shape
+    hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
+    keypoints_2d = heatmap.decode_keypoints(
+        hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
+    )  # [B, V, K, 2]
+
+    points_kv = jnp.swapaxes(keypoints_2d, 1, 2)  # [B, K, V, 2]
+    per_joint = jax.vmap(  # over batch
+        jax.vmap(  # over joints
+            lambda pts, pr: _ransac_single_joint(pr, pts, pairs, epsilon, method),
+            in_axes=(0, None),
+        ),
+        in_axes=(0, 0),
+    )
+    kp3d, err, inlier = per_joint(points_kv, proj_matrices)
+    # kp3d: [B, K, 3]; err, inlier: [B, K]
+
+    validf = valid_joints.astype(jnp.float32)
+    kp3d = kp3d * validf[..., None]
+    n_valid = jnp.maximum(jnp.sum(validf, axis=-1), 1.0)
+    mean_err = jnp.sum(jnp.where(valid_joints, err, 0.0), axis=-1) / n_valid
+    inlier_count = jnp.min(
+        jnp.where(valid_joints, inlier, jnp.float32(V + 1)), axis=-1
+    )
+
+    if use_reprojection_xe:
+        metric = reprojection_xe(kp3d, proj_matrices, heatmaps, sigma)
+    else:
+        metric = mean_err
+
+    return {
+        "keypoints_3d": kp3d,
+        "keypoints_2d": keypoints_2d,
+        "metric": metric,
+        "inlier_count": inlier_count,
+        "per_joint_error": err,
+        "per_joint_inliers": inlier,
+    }
+
+
+def reprojection_xe(
+    keypoints_3d: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    heatmaps: jnp.ndarray,
+    sigma: float,
+) -> jnp.ndarray:
+    """Reprojection cross-entropy-style metric: MSE between predicted
+    heatmaps and Gaussians re-rendered at the reprojected 2D keypoints,
+    summed over views and joints (reference: utils/triangulation.py:236-257).
+
+    keypoints_3d: [B, K, 3]; proj_matrices: [B, V, 3, 4];
+    heatmaps: [B, V, h, w, K] -> [B].
+
+    Quirk replicated: like the reference, the reprojected keypoints are in
+    *image* coordinates while the Gaussian grid is heatmap-sized — there is
+    no stride division (reference renders the grid at (h, w) but centers it
+    at full-resolution coordinates).  The metric is OFF by default
+    (config.py:50) and kept bit-compatible.
+    """
+    B, V, h, w, K = heatmaps.shape
+    kp2d = geometry.project_points(
+        proj_matrices, keypoints_3d[:, None, :, :]
+    )  # [B, V, K, 2]
+    gauss = heatmap.render_gaussian_heatmaps(kp2d, h, w, sigma)  # [B, V, K, h, w]
+    pred = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
+    sq = jnp.square(pred - gauss)
+    return jnp.sum(sq, axis=(1, 2, 3, 4)) / (h * w)

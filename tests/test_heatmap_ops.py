@@ -1,0 +1,74 @@
+"""Heatmap render/decode ops (reference contracts:
+dataset/dataset.py:198-207, utils/evaluation.py:13-30,
+utils/triangulation.py:192-199)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multi_view_active_learning_tpu.ops import heatmap
+
+
+def test_render_gaussian_matches_reference_formula():
+    h, w, sigma = 16, 16, 1.5
+    kp = np.array([[3.2, 7.8], [0.0, 0.0]], dtype=np.float32)  # [K, 2]
+    got = np.asarray(heatmap.render_gaussian_heatmaps(jnp.array(kp), h, w, sigma))
+    xs, ys = np.arange(w), np.arange(h)
+    for k in range(2):
+        dx2 = (xs[None, :] - kp[k, 0]) ** 2
+        dy2 = (ys[:, None] - kp[k, 1]) ** 2
+        expected = np.exp(-(dx2 + dy2) / (2 * sigma**2))
+        np.testing.assert_allclose(got[k], expected, rtol=1e-5)
+
+
+def test_decode_argmax_xy_convention():
+    hm = np.zeros((2, 3, 8, 8), np.float32)
+    hm[0, 0, 5, 2] = 1.0  # y=5, x=2
+    hm[1, 2, 0, 7] = 1.0
+    coords, peak = heatmap.decode_argmax(jnp.array(hm), stride=4.0)
+    coords = np.asarray(coords)
+    np.testing.assert_allclose(coords[0, 0], [8.0, 20.0])  # (x, y) * stride
+    np.testing.assert_allclose(coords[1, 2], [28.0, 0.0])
+    np.testing.assert_allclose(np.asarray(peak)[0, 0], 1.0)
+
+
+def test_soft_argmax_expected_location():
+    hm = np.full((1, 8, 8), -50.0, np.float32)
+    hm[0, 4, 6] = 50.0  # dominant peak -> expectation collapses to it
+    coords = np.asarray(heatmap.soft_argmax(jnp.array(hm), stride=1.0))
+    np.testing.assert_allclose(coords[0], [6.0, 4.0], atol=1e-3)
+
+
+def test_soft_argmax_symmetric_blur_is_unbiased():
+    hm = np.zeros((1, 9, 9), np.float32)
+    hm[0, 4, 4] = 2.0
+    for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        hm[0, 4 + dy, 4 + dx] = 1.0
+    coords = np.asarray(heatmap.soft_argmax(jnp.array(hm)))
+    np.testing.assert_allclose(coords[0], [4.0, 4.0], atol=1e-5)
+
+
+def test_decode_keypoints_zeroes_invalid():
+    hm = np.random.default_rng(0).random((2, 4, 8, 8)).astype(np.float32)
+    valid = np.array([[True, False, True, True], [True, True, True, False]])
+    coords = np.asarray(
+        heatmap.decode_keypoints(jnp.array(hm), 4.0, jnp.array(valid))
+    )
+    np.testing.assert_array_equal(coords[0, 1], 0.0)
+    np.testing.assert_array_equal(coords[1, 3], 0.0)
+    assert coords[0, 0].sum() != 0.0
+
+
+def test_heatmap_mse_loss_normalization_and_mask():
+    n, h, w, k = 4, 8, 8, 3
+    pred = np.ones((n, h, w, k), np.float32)
+    target = np.zeros((n, h, w, k), np.float32)
+    # unmasked: sum of squares = n*h*w*k, normalized by n*h*w -> k
+    loss = float(heatmap.heatmap_mse_loss(jnp.array(pred), jnp.array(target)))
+    assert abs(loss - k) < 1e-6
+    # mask out one joint everywhere -> (k-1)
+    mask = np.ones((n, 1, 1, k), bool)
+    mask[..., 0] = False
+    loss = float(
+        heatmap.heatmap_mse_loss(jnp.array(pred), jnp.array(target), jnp.array(mask))
+    )
+    assert abs(loss - (k - 1)) < 1e-6

@@ -1,0 +1,139 @@
+"""Batched RANSAC-DLT triangulation (reference contract:
+utils/triangulation.py:168-338, golden style after tests/test_triangulation.py
+in the reference, but with synthetic-exactness assertions instead of pure
+shape checks)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multi_view_active_learning_tpu.ops import geometry, triangulate
+
+from helpers import synthetic_multiview_problem
+
+
+B, V, K, HM, STRIDE = 2, 8, 19, 64, 4
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return synthetic_multiview_problem(B, V, K, HM, STRIDE, seed=0)
+
+
+def _run(heatmaps, proj, method="eigh", **kw):
+    pairs = triangulate.all_view_pairs(proj.shape[1])
+    valid = np.ones((heatmaps.shape[0], heatmaps.shape[-1]), bool)
+    return triangulate.triangulate_frames(
+        jnp.array(heatmaps), jnp.array(proj), jnp.array(valid), jnp.array(pairs),
+        stride=STRIDE, method=method, **kw,
+    )
+
+
+def test_output_shapes(problem):
+    heatmaps, proj, _, _ = problem
+    res = _run(heatmaps, proj)
+    assert res["keypoints_3d"].shape == (B, K, 3)
+    assert res["keypoints_2d"].shape == (B, V, K, 2)
+    assert res["metric"].shape == (B,)
+    assert res["inlier_count"].shape == (B,)
+
+
+def test_recovers_3d_points_within_quantization(problem):
+    heatmaps, proj, pts3d, _ = problem
+    res = _run(heatmaps, proj)
+    err = np.linalg.norm(np.asarray(res["keypoints_3d"]) - pts3d, axis=-1)
+    # stride-4 grid snapping bounds the reachable accuracy; with f~260 and
+    # range ~300 that is a few world units.
+    assert err.max() < 5.0
+    assert np.asarray(res["inlier_count"]).min() == V
+
+
+def test_decoded_2d_matches_grid(problem):
+    heatmaps, proj, _, grid = problem
+    res = _run(heatmaps, proj)
+    np.testing.assert_allclose(
+        np.asarray(res["keypoints_2d"]), grid.astype(np.float32) * STRIDE
+    )
+
+
+def test_eigh_and_svd_methods_agree(problem):
+    heatmaps, proj, _, _ = problem
+    r1 = _run(heatmaps, proj, method="eigh")
+    r2 = _run(heatmaps, proj, method="svd")
+    np.testing.assert_allclose(
+        np.asarray(r1["keypoints_3d"]), np.asarray(r2["keypoints_3d"]),
+        atol=2e-2, rtol=1e-3,
+    )
+
+
+def test_ransac_rejects_corrupted_view(problem):
+    heatmaps, proj, pts3d, _ = problem
+    bad = heatmaps.copy()
+    bad[:, 3] = 0.0
+    bad[:, 3, 5, 5, :] = 1.0  # every joint of view 3 points at garbage
+    res = _run(bad, proj)
+    assert np.asarray(res["inlier_count"]).max() == V - 1
+    err = np.linalg.norm(np.asarray(res["keypoints_3d"]) - pts3d, axis=-1)
+    assert err.max() < 5.0
+
+
+def test_invalid_joints_zeroed_and_excluded(problem):
+    heatmaps, proj, _, _ = problem
+    pairs = triangulate.all_view_pairs(V)
+    valid = np.ones((B, K), bool)
+    valid[:, 0] = False
+    res = triangulate.triangulate_frames(
+        jnp.array(heatmaps), jnp.array(proj), jnp.array(valid), jnp.array(pairs),
+        stride=STRIDE,
+    )
+    np.testing.assert_array_equal(np.asarray(res["keypoints_3d"])[:, 0], 0.0)
+    # decoded 2D for invalid joints is (0, 0), as in reference
+    # utils/evaluation.py:21-23
+    np.testing.assert_array_equal(np.asarray(res["keypoints_2d"])[:, :, 0], 0.0)
+
+
+def test_dlt_matches_float64_reference(problem):
+    """Masked DLT against an independent float64 SVD implementation."""
+    _, proj, pts3d, _ = problem
+    rng = np.random.default_rng(1)
+    for k in range(3):
+        pts2d = np.stack(
+            [geometry.project_points_np(proj[0, v], pts3d[:1, k])[0] for v in range(V)]
+        )
+        pts2d += rng.normal(scale=0.5, size=pts2d.shape)  # subpixel noise
+        # float64 DLT
+        A = np.zeros((2 * V, 4))
+        for v in range(V):
+            A[2 * v] = pts2d[v, 0] * proj[0, v, 2] - proj[0, v, 0]
+            A[2 * v + 1] = pts2d[v, 1] * proj[0, v, 2] - proj[0, v, 1]
+        _, _, vh = np.linalg.svd(A)
+        ref = vh[3, :3] / vh[3, 3]
+        got = np.asarray(
+            triangulate.dlt_triangulate(
+                jnp.array(proj[0]), jnp.array(pts2d, dtype=jnp.float32)
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=0.5)
+
+
+def test_pair_subsampling_is_deterministic():
+    p1 = triangulate.all_view_pairs(31, n_iters=64, seed=7)
+    p2 = triangulate.all_view_pairs(31, n_iters=64, seed=7)
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (64, 2)
+    assert triangulate.all_view_pairs(8).shape == (28, 2)
+
+
+def test_soft_argmax_path_runs(problem):
+    heatmaps, proj, pts3d, _ = problem
+    res = _run(heatmaps, proj, use_soft_argmax=True)
+    # one-hot peaks + softmax blur keeps the estimate close
+    err = np.linalg.norm(np.asarray(res["keypoints_3d"]) - pts3d, axis=-1)
+    assert err.mean() < 30.0
+
+
+def test_reprojection_xe_metric(problem):
+    heatmaps, proj, _, _ = problem
+    res = _run(heatmaps, proj, use_reprojection_xe=True, sigma=1.0)
+    assert res["metric"].shape == (B,)
+    assert np.isfinite(np.asarray(res["metric"])).all()
