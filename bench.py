@@ -1,0 +1,125 @@
+"""North-star benchmark: full AL scoring pass, frames/sec/chip.
+
+Workload (BASELINE.json): 31-view Panoptic-shape heatmap inference
+(PoseResNet-50, 256x256 crops, 19 joints) + batched RANSAC-DLT triangulation
++ TRIANGULATION AL metric for every frame, then k-center-greedy coreset
+ranking over the scored pool — all on one chip.
+
+vs_baseline: the reference implementation's scoring pass is CPU-bound —
+per frame it runs 19 joints x 64 view-pair numpy SVD RANSAC plus 8
+per-sample NCCL all_gathers (reference strategy.py:1004-1147,
+utils/triangulation.py:260-338), which bounds it to roughly 8 frames/s on an
+A100-class host regardless of GPU speed.  BASELINE_FPS below encodes that
+estimate; the north-star target is >= 5x (BASELINE.json).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 8.0
+NUM_VIEWS = 31
+NUM_JOINTS = 19
+IMG = 256
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+POOL_FOR_CORESET = 2048
+CORESET_PICK = 100
+
+
+def main():
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.engine import Engine
+    from multi_view_active_learning_tpu.ops import coreset, triangulate
+    from tests.helpers import make_ring_cameras
+
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(BATCH, NUM_VIEWS, IMG, IMG, 3)).astype(np.float32)
+    )
+    proj = jnp.asarray(
+        np.broadcast_to(
+            make_ring_cameras(NUM_VIEWS, radius=300.0, img=IMG),
+            (BATCH, NUM_VIEWS, 3, 4),
+        ).astype(np.float32)
+    )
+    valid = jnp.ones((BATCH, NUM_JOINTS), bool)
+    gt = jnp.asarray(rng.normal(size=(BATCH, NUM_JOINTS, 3)).astype(np.float32))
+    pairs = jnp.asarray(triangulate.all_view_pairs(NUM_VIEWS))
+    key = jax.random.PRNGKey(1)
+
+    def score(images_in):
+        return engine.score_step(
+            state.params, state.batch_stats, images_in, proj, valid, pairs, gt,
+            key, al_strategy="TRIANGULATION",
+        )
+
+    # Warm up: compile, then run a few chained steps so the backend's
+    # per-executable execution-plan setup (hundreds of ms on the tunneled
+    # runtime) is excluded from steady-state timing.  Host fetches force
+    # real execution — block_until_ready is unreliable through the tunnel.
+    carry = jnp.zeros((), images.dtype)
+    for _ in range(3):
+        out = score(images + carry)
+        carry = out["al_metric"][0] * 0.0
+    float(np.asarray(carry))
+
+    # Chain each step on the previous step's output so the final fetch
+    # transitively forces the whole timed sequence to execute.
+    t0 = time.perf_counter()
+    carry = jnp.zeros((), images.dtype)
+    for _ in range(STEPS):
+        out = score(images + carry)
+        carry = out["al_metric"][0] * 0.0
+    float(np.asarray(carry))
+    scoring_time = time.perf_counter() - t0
+    frames = BATCH * STEPS
+
+    # Coreset ranking over a scored pool (amortized per scoring pass).
+    feats = jnp.asarray(
+        rng.normal(size=(POOL_FOR_CORESET, 3 * NUM_JOINTS)).astype(np.float32)
+    )
+    labeled = jnp.asarray(
+        np.arange(POOL_FOR_CORESET) >= POOL_FOR_CORESET - 200
+    )
+    sel = coreset.k_center_greedy(feats, labeled, CORESET_PICK)
+    np.asarray(sel)  # compile + force
+    t0 = time.perf_counter()
+    sel = coreset.k_center_greedy(feats, labeled, CORESET_PICK)
+    np.asarray(sel)
+    coreset_time = time.perf_counter() - t0
+    # Amortize the coreset ranking over the pool it ranks.
+    coreset_per_frame = coreset_time / POOL_FOR_CORESET
+
+    per_frame = scoring_time / frames + coreset_per_frame
+    fps = 1.0 / per_frame
+    print(
+        json.dumps(
+            {
+                "metric": "al_scoring_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -186,6 +186,12 @@ class DataConfig:
     EPOCH_SIZE: int = 2000
     # 19 for panoptic; 42 for ih26m.
     NUM_JOINTS: int = 19
+    # Native host loader (native/mval_host.cc): fused C++ JPEG
+    # decode+crop+Lanczos per view; falls back to PIL when the library is
+    # unavailable.  NATIVE_FAST_SCALE additionally allows fractional-IDCT
+    # decode for large frames (throughput mode, not bit-exact).
+    USE_NATIVE_LOADER: bool = True
+    NATIVE_FAST_SCALE: bool = False
     # Augmentation (reference: dataset/config.py:43-47).
     NUM_AUG: int = 0
     AUG_MAGNITUDE: int = 0
@@ -206,9 +212,13 @@ class TPUConfig:
     COMPUTE_DTYPE: str = "bfloat16"
     # Rematerialize backbone stages in the train step to trade FLOPs for HBM.
     REMAT: bool = False
-    # DLT solver: "eigh" (4x4 normal equations, MXU-friendly) or "svd"
-    # (reference-parity path through jnp.linalg.svd).
-    DLT_METHOD: str = "eigh"
+    # DLT solver for the 4x4 normal equations:
+    #   "power" — adjugate inverse iteration, closed-form elementwise math;
+    #             ~3 orders of magnitude faster than batched eigh/svd on TPU
+    #             at equal-or-better accuracy (the default);
+    #   "eigh"  — jnp.linalg.eigh on A^T A;
+    #   "svd"   — reference-parity path through jnp.linalg.svd.
+    DLT_METHOD: str = "power"
     # Use Pallas kernels where available (coreset pairwise distances, fused
     # heatmap decode).  Falls back to pure-XLA implementations when False or
     # when the backend lacks Pallas support.

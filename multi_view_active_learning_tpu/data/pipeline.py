@@ -1,0 +1,248 @@
+"""Host -> device batch pipeline.
+
+Split of labor (vs the reference's all-on-CPU prepare_single_view,
+dataset/dataset.py:158-220):
+
+  host (numpy/PIL, per view): JPEG decode, BGR flip, square+scale bbox, crop,
+    camera intrinsic updates, 3D->2D projection, LANCZOS resize to the model
+    input size.  Emits **uint8** images — 4x less host->device traffic than
+    the reference's float32 tensors.
+
+  device (one jitted call per batch): ImageNet normalization, Gaussian GT
+    heatmap synthesis for all (frame, view, joint) at once, and RandAugment
+    when training.  In the reference these run per view per joint on the
+    dataloader CPU workers; here they are fused elementwise XLA work.
+
+Batches are fixed-shape: the final partial batch is padded and flagged via
+`frame_valid`, so every step hits the same compiled executable.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from queue import Queue
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..ops import geometry, heatmap
+from . import augmentation as aug
+
+
+def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.ndarray]:
+    """Prepare every view of one frame on the host.
+
+    Reference: dataset/dataset.py:112-220 (prepare_frame +
+    prepare_single_view) minus normalization/heatmaps/augmentation, which
+    move to the device.
+    """
+    if "pseudo_3d_keypoints" in frame:
+        kp3d = np.asarray(frame["pseudo_3d_keypoints"], dtype=np.float64)[:, :3]
+        sigma = data_cfg.PSEUDO_LABEL_SIGMA
+    else:
+        kp3d = np.asarray(frame["3d_keypoints"], dtype=np.float64)[:, :3]
+        sigma = data_cfg.SIGMA
+
+    use_native = getattr(data_cfg, "USE_NATIVE_LOADER", False)
+    fast_scale = getattr(data_cfg, "NATIVE_FAST_SCALE", False)
+    if use_native:
+        from . import native_loader
+
+        use_native = native_loader.available()
+
+    images, projs, kps, kps_after_crop, sq_boxes, pvjv = [], [], [], [], [], []
+    for camera_name, view in frame["views"].items():
+        bbox = geometry.get_square_bbox(tuple(view["box"]))
+        bbox = geometry.scale_bbox(bbox, data_cfg.SCALE_BBOX)
+        cam = geometry.Camera(
+            view["camera"]["R"],
+            view["camera"]["t"],
+            view["camera"]["K"],
+            view["camera"]["dist"],
+            name=camera_name,
+        )
+        image = None
+        if use_native:
+            with open(view["path"], "rb") as f:
+                raw = f.read()
+            # Native path fuses decode + crop + Lanczos + BGR flip.  The
+            # bbox is given in original (RGB) image coordinates; the
+            # reference's BGR flip (dataset.py:162) is channel-only, so
+            # flipping after resize is equivalent.
+            image = native_loader.decode_crop_resize(
+                raw, bbox, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
+                bgr_flip=True, fast_scale=fast_scale,
+            )
+            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
+        if image is None:  # PIL fallback (reference-exact path)
+            with open(view["path"], "rb") as f:
+                image = np.asarray(Image.open(f))
+            image = image[..., ::-1]  # BGR flip (reference: dataset.py:162)
+            image = geometry.crop_image(image, bbox)
+            crop_shape = image.shape[:2]
+            image = Image.fromarray(image).resize(
+                (data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT),
+                resample=Image.LANCZOS,
+            )
+            image = np.asarray(image, dtype=np.uint8)
+        cam.update_after_crop(bbox)
+        kps_after_crop.append(cam.project(kp3d).astype(np.float32))
+        cam.update_after_resize(
+            crop_shape, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT
+        )
+        projs.append(cam.projection.astype(np.float32))
+        kps.append(cam.project(kp3d).astype(np.float32))
+        images.append(image)
+        sq_boxes.append(np.asarray(bbox, dtype=np.float32))
+        pvjv.append(np.asarray(view["per_view_joint_valid"], dtype=bool))
+
+    return {
+        "images": np.stack(images),  # [V, H, W, 3] uint8
+        "proj_matrices": np.stack(projs),  # [V, 3, 4]
+        "2d_keypoints": np.stack(kps),  # [V, K, 2] post-resize
+        "2d_after_crop": np.stack(kps_after_crop),
+        "square_box": np.stack(sq_boxes),  # [V, 4]
+        "per_view_joint_valid": np.stack(pvjv),  # [V, K]
+        "3d_keypoints": np.asarray(frame["3d_keypoints"], dtype=np.float32)[:, :3],
+        "joint_valid": np.asarray(frame["joint_valid"], dtype=bool),
+        "sigma": np.float32(sigma),
+        "pose": np.int64(frame["pose"]),
+        "frame_id": np.int64(frame["frame_id"]),
+        "guid": frame["guid"],
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("stride", "train", "num_aug", "magnitude", "use_rotation",
+                     "use_image_aug", "const_magnitude"),
+)
+def device_prepare(
+    images_u8: jnp.ndarray,  # [B, V, H, W, 3] uint8
+    keypoints_2d: jnp.ndarray,  # [B, V, K, 2]
+    sigma: jnp.ndarray,  # [B]
+    rng_key: jax.Array,
+    stride: int = 4,
+    train: bool = False,
+    num_aug: int = 0,
+    magnitude: int = 0,
+    use_rotation: bool = True,
+    use_image_aug: bool = True,
+    const_magnitude: bool = True,
+):
+    """Device-side batch finishing: GT heatmaps + aug + normalization.
+
+    Returns (images [B, V, H, W, 3] f32 normalized,
+             gt_heatmaps [B, V, h, w, K] f32).
+    """
+    B, V, H, W, _ = images_u8.shape
+    h, w = H // stride, W // stride
+    images = images_u8.astype(jnp.float32)
+    kp_grid = keypoints_2d / float(stride)  # [B, V, K, 2]
+    # sigma broadcasts against the [B, V, K, h, w] exponent.
+    heat = heatmap.render_gaussian_heatmaps(
+        kp_grid, h, w, sigma[:, None, None, None, None]
+    )  # [B, V, K, h, w]
+    heat = jnp.moveaxis(heat, 2, -1)  # [B, V, h, w, K]
+    if train and num_aug > 0:
+        images, heat = aug.rand_augment(
+            rng_key,
+            images.reshape(B * V, H, W, 3),
+            heat.reshape(B * V, h, w, -1),
+            num_aug=num_aug,
+            magnitude=magnitude,
+            use_rotation=use_rotation,
+            use_image_aug=use_image_aug,
+            const_magnitude=const_magnitude,
+        )
+        images = images.reshape(B, V, H, W, 3)
+        heat = heat.reshape(B, V, h, w, -1)
+    mean = jnp.asarray(geometry.IMAGENET_MEAN)
+    std = jnp.asarray(geometry.IMAGENET_STD)
+    images = (images / 255.0 - mean) / std
+    return images, heat
+
+
+class FrameLoader:
+    """Iterate a FramePool's current `data` view in fixed-size batches.
+
+    Single-controller sharding: with `num_shards > 1` (multi-process JAX),
+    each process loads its `shard_index`-strided subset — the
+    DistributedSampler equivalent (reference: strategy.py:747-760).
+    A background thread prefetches `prefetch` batches so JPEG decode overlaps
+    device compute.
+    """
+
+    def __init__(
+        self,
+        pool,
+        data_cfg,
+        gt_stride: int,
+        batch_size: int,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.pool = pool
+        self.data_cfg = data_cfg
+        self.gt_stride = gt_stride
+        self.batch_size = batch_size
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.pool.data[self.shard_index :: self.num_shards])
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict]:
+        frames = self.pool.data[self.shard_index :: self.num_shards]
+        B = self.batch_size
+        for start in range(0, len(frames), B):
+            chunk = frames[start : start + B]
+            prepared = [
+                prepare_views_host(f, self.data_cfg, self.gt_stride) for f in chunk
+            ]
+            valid = np.zeros(B, bool)
+            valid[: len(prepared)] = True
+            while len(prepared) < B:  # pad the tail batch to fixed shape
+                prepared.append(prepared[-1])
+            batch = {
+                key: np.stack([p[key] for p in prepared])
+                for key in prepared[0]
+                if key != "guid"
+            }
+            batch["guid"] = [p["guid"] for p in prepared]
+            batch["frame_valid"] = valid
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: Queue = Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surface loader errors in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

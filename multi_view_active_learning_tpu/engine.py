@@ -1,0 +1,275 @@
+"""Training/inference engine: jitted train, eval, and scoring steps.
+
+Maps the reference's torch training internals to single-compilation JAX:
+
+  * optimizer: Adam + StepLR(step_size, gamma=0.1) ==
+    optax.adam(exponential_decay(..., staircase=True))
+    (reference: strategy.py:405-410);
+  * loss: masked heatmap MSE with the reference normalization
+    (pose_estimators/loss.py:10-24, masking reshape strategy.py:762-770);
+  * NaN/Inf/clip step-skip: the reference skips optimizer.step() when the
+    loss is invalid (strategy.py:473-484); here the update is selected with
+    jnp.where inside the compiled step so the skip costs nothing;
+  * scoring/eval: model forward + batched triangulation + AL metric in ONE
+    jitted call per batch — the reference's per-sample Python loop with
+    GPU->CPU bounces and 8 all_gathers per sample (strategy.py:1004-1147)
+    disappears; with a ('data','view') mesh the conv work shards over all
+    devices and only the [B, V, K, 2] decoded keypoints are gathered.
+
+BatchNorm note: under jit the batch statistics are computed over the global
+(sharded) batch — stronger than the reference's per-GPU local BN stats; with
+broadcast_buffers=True the reference broadcasts rank 0's buffers anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models import build_model
+from .ops import heatmap as heatmap_ops
+from .ops import triangulate as tri
+from .ops import uncertainty
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg) -> optax.Schedule:
+    """StepLR equivalent: lr * 0.1^(step // decay_step_size)."""
+    return optax.exponential_decay(
+        init_value=cfg.TRAIN.OPTIM.LR,
+        transition_steps=cfg.TRAIN.OPTIM.LR_DECAY_STEP_SIZE,
+        decay_rate=cfg.TRAIN.OPTIM.LR_DECAY_RATE,
+        staircase=True,
+    )
+
+
+class Engine:
+    """Owns the model, optimizer, and compiled step functions."""
+
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = build_model(cfg)
+        self.lr_schedule = make_lr_schedule(cfg)
+        self.tx = optax.adam(self.lr_schedule)
+        self.stride = cfg.POSE_ESTIMATOR.STRIDE
+        from .ops.pallas import backend_supports_pallas
+
+        self.use_pallas = bool(cfg.TPU.USE_PALLAS) and backend_supports_pallas()
+        self._pairs_cache: Dict[int, np.ndarray] = {}
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, input_shape=None) -> TrainState:
+        shape = input_shape or (
+            1,
+            self.cfg.DATA.INPUT_HEIGHT,
+            self.cfg.DATA.INPUT_WIDTH,
+            3,
+        )
+        variables = self.model.init(rng, jnp.zeros(shape, jnp.float32), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+
+    def pairs(self, num_views: int) -> np.ndarray:
+        if num_views not in self._pairs_cache:
+            self._pairs_cache[num_views] = tri.all_view_pairs(
+                num_views,
+                n_iters=self.cfg.AL.RANSAC_N_ITERS,
+                seed=int(self.cfg.RANDOM_SEED) & 0x7FFFFFFF,
+            )
+        return self._pairs_cache[num_views]
+
+    # -- steps ----------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnames=("state",))
+    def train_step(
+        self, state: TrainState, images, gt_heatmaps, per_view_joint_valid,
+        frame_valid,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One optimizer step.
+
+        images: [B, V, H, W, 3] normalized; gt_heatmaps: [B, V, h, w, K];
+        per_view_joint_valid: [B, V, K] bool; frame_valid: [B] bool (tail
+        padding mask — padded frames contribute zero loss).
+        """
+        B, V = images.shape[0], images.shape[1]
+        flat_images = images.reshape((B * V,) + images.shape[2:])
+        flat_gt = gt_heatmaps.reshape((B * V,) + gt_heatmaps.shape[2:])
+        mask = (
+            per_view_joint_valid
+            & frame_valid[:, None, None]
+        ).reshape(B * V, 1, 1, -1)
+
+        def loss_fn(params):
+            out, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                flat_images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = heatmap_ops.heatmap_mse_loss(out, flat_gt, mask)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Step-skip on invalid loss (reference: strategy.py:473-484).  The
+        # LR schedule still advances (lr_scheduler.step() ran regardless).
+        ok = jnp.isfinite(loss) & (loss <= self.cfg.TRAIN.LOSS_CLIP_VALUE)
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+
+        state = TrainState(
+            step=state.step + 1,
+            params=sel(new_params, state.params),
+            batch_stats=sel(new_stats, state.batch_stats),
+            opt_state=sel(new_opt_state, state.opt_state),
+        )
+        metrics = {
+            "loss": loss,
+            "skipped": ~ok,
+            "lr": self.lr_schedule(state.step),
+        }
+        return state, metrics
+
+    @partial(jax.jit, static_argnames=("self",))
+    def forward(self, params, batch_stats, images) -> jnp.ndarray:
+        """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K]."""
+        B, V = images.shape[0], images.shape[1]
+        flat = images.reshape((B * V,) + images.shape[2:])
+        out = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, flat, train=False
+        )
+        return out.reshape((B, V) + out.shape[1:])
+
+    @partial(
+        jax.jit,
+        static_argnames=("self", "al_strategy", "mpe_aggregate", "hp_aggregate",
+                         "bsb_aggregate"),
+    )
+    def score_step(
+        self,
+        params,
+        batch_stats,
+        images,
+        proj_matrices,
+        joint_valid,
+        pairs,
+        gt_keypoints_3d,
+        rng_key,
+        al_strategy: str = "TRIANGULATION",
+        mpe_aggregate: str = "AVG",
+        hp_aggregate: str = "AVG",
+        bsb_aggregate: str = "AVG",
+    ) -> Dict[str, jnp.ndarray]:
+        """Unlabeled-pool scoring: forward + triangulation + AL metric for a
+        whole batch in one compiled call (replaces strategy.py:1004-1147).
+
+        Returns per-frame arrays: keypoints_3d [B, K, 3], sal_metric [B],
+        inlier_count [B], al_metric [B], mkpe [B].
+        """
+        heatmaps = self.forward(params, batch_stats, images)
+        res = tri.triangulate_frames(
+            heatmaps,
+            proj_matrices,
+            joint_valid,
+            pairs,
+            stride=self.stride,
+            use_soft_argmax=self.cfg.AL.USE_SOFTARGMAX,
+            use_reprojection_xe=self.cfg.AL.USE_REPROJECTION_XE,
+            sigma=self.cfg.AL.REPROJECTION_SIGMA,
+            epsilon=self.cfg.AL.RANSAC_EPSILON,
+            method=self.cfg.TPU.DLT_METHOD,
+            use_pallas=self.use_pallas,
+        )
+        B = images.shape[0]
+        if al_strategy == "RANDOM":
+            al_metric = jax.random.uniform(rng_key, (B,))
+        elif al_strategy == "TRIANGULATION":
+            al_metric = res["metric"]
+        elif al_strategy == "MPE":
+            al_metric = uncertainty.multi_peak_entropy(
+                heatmaps, joint_valid, mpe_aggregate
+            )
+        elif al_strategy == "HP":
+            al_metric = uncertainty.highest_probability(
+                heatmaps, joint_valid, hp_aggregate
+            )
+        elif al_strategy == "BSB":
+            al_metric = uncertainty.best_vs_second_best(
+                heatmaps, joint_valid, bsb_aggregate
+            )
+        elif al_strategy == "CORESET":
+            al_metric = jnp.zeros((B,))
+        else:
+            raise NotImplementedError("Unknown AL strategy: %s" % al_strategy)
+
+        # Per-frame MKPE against GT (diagnostics / SAL histograms,
+        # strategy.py:1134-1145).
+        d = jnp.square(res["keypoints_3d"] - gt_keypoints_3d)
+        d = jnp.where(joint_valid[..., None] > 0, d, 0.0)
+        d = jnp.sqrt(jnp.sum(d, axis=-1))  # [B, K]
+        count = jnp.maximum(jnp.sum(joint_valid, axis=-1), 1)
+        mkpe = jnp.sum(d, axis=-1) / count
+
+        return {
+            "keypoints_3d": res["keypoints_3d"],
+            "sal_metric": res["metric"],
+            "inlier_count": res["inlier_count"],
+            "al_metric": al_metric,
+            "mkpe": mkpe,
+        }
+
+    @partial(jax.jit, static_argnames=("self",))
+    def eval_step(
+        self, params, batch_stats, images, proj_matrices, joint_valid, pairs
+    ) -> Dict[str, jnp.ndarray]:
+        """Validation triangulation (replaces strategy.py:584-634's
+        per-sample loop + all_gathers)."""
+        heatmaps = self.forward(params, batch_stats, images)
+        res = tri.triangulate_frames(
+            heatmaps,
+            proj_matrices,
+            joint_valid,
+            pairs,
+            stride=self.stride,
+            epsilon=self.cfg.AL.RANSAC_EPSILON,
+            method=self.cfg.TPU.DLT_METHOD,
+            use_pallas=self.use_pallas,
+        )
+        return {"keypoints_3d": res["keypoints_3d"]}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def loss_step(self, params, batch_stats, images, gt_heatmaps) -> jnp.ndarray:
+        """Per-frame heatmap MSE for CLUSTER TYPE=LOSS
+        (reference: strategy.py:173-187): [B] losses normalized by h*w."""
+        heatmaps = self.forward(params, batch_stats, images)  # [B, V, h, w, K]
+        sq = jnp.square(heatmaps - gt_heatmaps)
+        h, w = heatmaps.shape[2], heatmaps.shape[3]
+        return jnp.sum(sq, axis=(1, 2, 3, 4)) / (h * w)

@@ -62,17 +62,27 @@ def _min_dist_to_centers(
     return jnp.sqrt(min_d2)
 
 
-@partial(jax.jit, static_argnames=("n_select",))
+@partial(jax.jit, static_argnames=("n_select", "use_pallas"))
 def k_center_greedy(
-    features: jnp.ndarray, labeled_mask: jnp.ndarray, n_select: int
+    features: jnp.ndarray,
+    labeled_mask: jnp.ndarray,
+    n_select: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Greedy k-center selection.
 
     features: [n, d] float32; labeled_mask: [n] bool (initial centers).
     Returns [n_select] int32 indices into `features` — all from the
-    unlabeled part, in selection order.
+    unlabeled part, in selection order.  `use_pallas` routes the initial
+    min-distance sweep through the tiled MXU kernel
+    (ops/pallas/pairwise.py).
     """
-    min_dist = _min_dist_to_centers(features, labeled_mask)
+    if use_pallas:
+        from .pallas import pairwise as pallas_pairwise
+
+        min_dist = pallas_pairwise.min_distance_to_centers(features, labeled_mask)
+    else:
+        min_dist = _min_dist_to_centers(features, labeled_mask)
 
     def step(i, carry):
         min_dist, selected = carry

@@ -67,12 +67,65 @@ def _dlt_rows(proj: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([ax, ay], axis=1)  # [V, 2, 4]
 
 
+def _det3(m) -> jnp.ndarray:
+    """Determinant of [..., 3, 3]."""
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+
+
+def _adjugate4(M: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate of [..., 4, 4]: adj(M) = det(M) * inv(M), in closed form
+    (16 3x3 cofactors — pure elementwise math, no linalg)."""
+    idx = (0, 1, 2, 3)
+    cof_rows = []
+    for i in idx:
+        rows = [r for r in idx if r != i]
+        cof_row = []
+        for j in idx:
+            cols = [c for c in idx if c != j]
+            minor = M[..., rows, :][..., :, cols]
+            cof_row.append(((-1.0) ** (i + j)) * _det3(minor))
+        cof_rows.append(jnp.stack(cof_row, axis=-1))
+    cof = jnp.stack(cof_rows, axis=-2)  # [..., 4, 4] cofactor matrix
+    return jnp.swapaxes(cof, -2, -1)
+
+
+def _null_vector_power(M: jnp.ndarray) -> jnp.ndarray:
+    """Smallest eigenvector of a PSD [..., 4, 4] via adjugate inverse
+    iteration — the TPU-fast replacement for batched tiny eigh/svd (whose
+    QDWH/Jacobi lowering costs ~200 ms per 35k-matrix batch on a v5e and
+    dominates scoring).
+
+    adj(M) = det(M) inv(M) shares eigenvectors with M with eigenvalues
+    det/lambda_i, so its dominant eigenvector IS M's smallest; each multiply
+    contracts by lambda_min/lambda_next regardless of the (huge) spread at
+    the top of DLT normal-matrix spectra.  For exactly-singular M (noise-free
+    pair systems) adj is rank-1 on the null space: one multiply is exact.
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True), 1e-30)
+    Mn = M / scale
+    # Tiny ridge keeps adj nonzero for rank<=2 degeneracies.
+    Mn = Mn + 1e-20 * jnp.eye(4, dtype=M.dtype)
+    adj = _adjugate4(Mn)
+    v = jnp.full(M.shape[:-2] + (4,), 0.5, M.dtype)
+    for _ in range(3):
+        v = jnp.einsum("...ij,...j->...i", adj, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def _null_vector(A: jnp.ndarray, method: str) -> jnp.ndarray:
     """Smallest right-singular vector of A: [..., R, 4] -> [..., 4]."""
     if method == "eigh":
         M = jnp.einsum("...ri,...rj->...ij", A, A)  # A^T A, [..., 4, 4]
         _, vecs = jnp.linalg.eigh(M)  # ascending eigenvalues
         return vecs[..., :, 0]
+    elif method == "power":
+        M = jnp.einsum("...ri,...rj->...ij", A, A)
+        return _null_vector_power(M)
     elif method == "svd":
         _, _, vh = jnp.linalg.svd(A, full_matrices=False)
         return vh[..., 3, :]
@@ -156,6 +209,7 @@ def _ransac_single_joint(
         "sigma",
         "epsilon",
         "method",
+        "use_pallas",
     ),
 )
 def triangulate_frames(
@@ -169,6 +223,7 @@ def triangulate_frames(
     sigma: float = 1.0,
     epsilon: float = 5.0,
     method: str = "eigh",
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Triangulate a whole batch of multi-view frames in one compiled call.
 
@@ -191,9 +246,16 @@ def triangulate_frames(
     """
     B, V, h, w, K = heatmaps.shape
     hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
-    keypoints_2d = heatmap.decode_keypoints(
-        hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
-    )  # [B, V, K, 2]
+    if use_pallas:
+        from .pallas import decode as pallas_decode
+
+        keypoints_2d = pallas_decode.decode_keypoints_pallas(
+            hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
+        )
+    else:
+        keypoints_2d = heatmap.decode_keypoints(
+            hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
+        )  # [B, V, K, 2]
 
     points_kv = jnp.swapaxes(keypoints_2d, 1, 2)  # [B, K, V, 2]
     per_joint = jax.vmap(  # over batch

@@ -1,0 +1,92 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with one process per GPU, DDP gradient all-reduce, and
+DistributedSampler (reference: workflow.py:125-139, 239-266; SURVEY.md §2.6).
+The TPU-native equivalent is a single-controller ``Mesh(('data', 'view'))``:
+
+  * 'data'  — shards frames (the DDP/DistributedSampler axis),
+  * 'view'  — shards camera views within a frame (the reference's implicit
+    scaling dimension, SURVEY.md §5 "long-context": V = 8..32 views).
+
+Everything downstream is plain ``jax.jit``: batches carry NamedShardings,
+params are replicated, and GSPMD inserts the psum for gradients and the
+small [B, V, K, 2] keypoint all-gather the triangulation contraction needs —
+the collectives ride ICI without any NCCL-style hand-rolled communication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+VIEW_AXIS = "view"
+
+
+def make_mesh(
+    data_axis: int = -1, view_axis: int = 1, devices=None
+) -> Mesh:
+    """Build the ('data', 'view') mesh.  data_axis == -1 infers it from the
+    device count (all devices not used by 'view')."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if view_axis < 1 or n % view_axis != 0:
+        raise ValueError(
+            "view_axis (%d) must divide the device count (%d)" % (view_axis, n)
+        )
+    if data_axis == -1:
+        data_axis = n // view_axis
+    if data_axis * view_axis != n:
+        raise ValueError(
+            "mesh %dx%d does not match %d devices" % (data_axis, view_axis, n)
+        )
+    arr = np.asarray(devices).reshape(data_axis, view_axis)
+    return Mesh(arr, (DATA_AXIS, VIEW_AXIS))
+
+
+def mesh_from_config(cfg) -> Mesh:
+    return make_mesh(cfg.TPU.DATA_AXIS, cfg.TPU.VIEW_AXIS)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, view_dim: Optional[int] = 1) -> NamedSharding:
+    """[B, V, ...] arrays: B over 'data', V over 'view' (when view_dim is not
+    None), rest replicated."""
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if view_dim is not None and ndim > view_dim:
+        spec[view_dim] = VIEW_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """[B, ...] arrays: B over 'data' only."""
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, view_keys=()) -> dict:
+    """device_put a host batch dict with [B, V, ...] / [B, ...] shardings.
+
+    view_keys: keys whose dim 1 is the camera-view axis."""
+    out = {}
+    for key, value in batch.items():
+        if not hasattr(value, "ndim"):
+            out[key] = value
+            continue
+        if key in view_keys:
+            sh = batch_sharding(mesh, value.ndim, view_dim=1)
+        else:
+            sh = data_sharding(mesh, value.ndim)
+        out[key] = jax.device_put(value, sh)
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

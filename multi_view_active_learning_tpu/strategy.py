@@ -1,0 +1,666 @@
+"""Active-learning strategy engine: training, evaluation, pool scoring,
+selection, and self-training orchestration.
+
+This is the TPU-native rebuild of the reference's ActiveLearningStrategy
+(strategy.py:28-1215).  Structural differences, all SURVEY.md §7 by design:
+
+  * One process, one controller: no mp.spawn / process groups / rank gating;
+    "rank 0 writes" becomes "jax.process_index() == 0 writes".
+  * The scoring loop is a jitted batch program (engine.score_step): forward,
+    triangulation, and the AL metric run on device per batch; the host only
+    assembles {guid: score} dicts.  The reference looped per sample in
+    Python with 8 all_gathers each (strategy.py:1036-1114).
+  * Training steps skip bad losses inside the compiled step.
+  * Checkpoints are orbax (CKPT-FINAL / CKPT-E{step}-MKPE{x}); guid replay
+    logs (SAMPLED-GUID-ITER-*, SAL-GUID-ITER-*, SAL-DICT-ITER-*) keep the
+    reference's JSON format byte-compatible for resume parity
+    (strategy.py:54-135, 315-336).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections import OrderedDict
+from heapq import nlargest
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import FrameLoader, build_dataset
+from .data.pipeline import device_prepare
+from .engine import Engine, TrainState
+from .ops import coreset as coreset_ops
+from .utils import checkpoint as ckpt
+from .utils import evaluation, get_logger
+from .utils.kmeans import KMeans
+from .utils.metrics_writer import MetricsWriter
+
+
+def _is_main() -> bool:
+    return jax.process_index() == 0
+
+
+class ActiveLearningStrategy:
+    def __init__(self, al_cfg, mesh=None):
+        self._logger = get_logger(__name__)
+        self.al_cfg = al_cfg
+        self.mesh = mesh
+        self.engine = Engine(al_cfg, mesh)
+        self.num_joints = al_cfg.DATA.NUM_JOINTS
+        # Root joint for pose centering (reference: strategy.py:34-37).
+        self.joint_root_index = 2 if al_cfg.DATA.TYPE != "ih26m" else 21
+        self.al_writer: Optional[MetricsWriter] = None
+        self.kmeans: Optional[KMeans] = None
+        if al_cfg.EXPR_TYPE == "SAL" and al_cfg.SAL.CLUSTER_FILE_PATH:
+            with open(al_cfg.SAL.CLUSTER_FILE_PATH) as f:
+                clusters = json.load(f)
+            kp_values = []
+            for guid in clusters:
+                kp = np.asarray(clusters[guid], dtype=np.float64)
+                if kp.shape[0] != 3 and kp.shape[-1] >= 3:
+                    kp = kp.T[:3]  # [K, >=3] -> [3, K]
+                kp = kp[:3] - kp[:3, self.joint_root_index : self.joint_root_index + 1]
+                kp_values.append(kp.flatten())
+            self.kmeans = KMeans(
+                al_cfg.SAL.NUM_CLUSTERS, random_state=al_cfg.RANDOM_SEED
+            ).fit(np.stack(kp_values))
+
+    # ------------------------------------------------------------------ utils
+
+    def _expr_dir(self, *sub) -> str:
+        return os.path.join(self.al_cfg.LOG_DIR, self.al_cfg.EXPR_NAME, *sub)
+
+    def _rng(self, salt: int = 0) -> np.random.Generator:
+        return np.random.default_rng((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
+
+    def _get_loader(self, pool, batch_size: int) -> FrameLoader:
+        return FrameLoader(
+            pool,
+            self.al_cfg.DATA,
+            self.al_cfg.POSE_ESTIMATOR.STRIDE,
+            batch_size=batch_size,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
+        )
+
+    def _put(self, arr, view_axis: bool = False):
+        """Host array -> device, sharded over the mesh when shapes divide.
+
+        [B, V, ...] arrays shard (data, view); [B, ...] shard (data,).
+        Falls back to unsharded placement when the mesh is absent or the
+        batch does not divide the axis (tail batches keep fixed shapes, so
+        in practice everything divides or nothing does).
+        """
+        arr = np.asarray(arr)
+        if self.mesh is None or np.prod(self.mesh.devices.shape) == 1:
+            return jnp.asarray(arr)
+        from . import parallel
+
+        data_n, view_n = (
+            self.mesh.shape[parallel.DATA_AXIS],
+            self.mesh.shape[parallel.VIEW_AXIS],
+        )
+        if arr.ndim >= 1 and arr.shape[0] % data_n == 0:
+            if view_axis and arr.ndim >= 2 and arr.shape[1] % view_n == 0:
+                return jax.device_put(
+                    arr, parallel.batch_sharding(self.mesh, arr.ndim, 1)
+                )
+            if view_n == 1:
+                return jax.device_put(
+                    arr, parallel.data_sharding(self.mesh, arr.ndim)
+                )
+        return jnp.asarray(arr)
+
+    def _device_batch(self, batch: Dict, train: bool, key) -> Tuple:
+        """uint8 host batch -> normalized images + GT heatmaps on device."""
+        d = self.al_cfg.DATA
+        return device_prepare(
+            self._put(batch["images"], view_axis=True),
+            self._put(batch["2d_keypoints"], view_axis=True),
+            self._put(batch["sigma"]),
+            key,
+            stride=self.al_cfg.POSE_ESTIMATOR.STRIDE,
+            train=train,
+            num_aug=d.NUM_AUG if train else 0,
+            magnitude=d.AUG_MAGNITUDE,
+            use_rotation=d.USE_ROTATION,
+            use_image_aug=d.USE_IMAGE_AUG,
+            const_magnitude=d.USE_CONST_AUG_MAGNITUDE,
+        )
+
+    def new_state(self, salt: int = 0) -> TrainState:
+        return self.engine.init_state(
+            jax.random.PRNGKey((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
+        )
+
+    # ----------------------------------------------------------- AL sampling
+
+    def sample_next_batch(
+        self, train_pool, al_num_frames, sal_num_frames, state, iteration
+    ):
+        """Reference: strategy.py:54-135."""
+        if iteration == 0:
+            self._logger.info(
+                "%s strategy, randomly sampling the initial batch."
+                % self.al_cfg.AL.STRATEGY
+            )
+            al_guids = self._random_sample_frames(train_pool, al_num_frames)
+            sal_guids, sal_dict = [], {}
+        else:
+            self._logger.info(
+                "%s strategy sampling %d frames."
+                % (self.al_cfg.AL.STRATEGY, al_num_frames)
+            )
+            al_guids, sal_guids, sal_dict = self._sal_pseudo_labeling(
+                train_pool, al_num_frames, sal_num_frames, state, iteration
+            )
+            if _is_main() and sal_dict:
+                if self.al_writer is not None:
+                    try:
+                        if sal_guids:
+                            for tag, src in (
+                                ("sal/mkpe", "mkpe"),
+                                ("sal/inlier_count", "inlier_count"),
+                                ("sal/sal_metric", "sal_metric"),
+                            ):
+                                self.al_writer.add_histogram(
+                                    tag,
+                                    [sal_dict[src][g] for g in sal_guids],
+                                    iteration,
+                                )
+                        al_with_metric = [
+                            g for g in al_guids if g in sal_dict["al_metric"]
+                        ]
+                        self.al_writer.add_histogram(
+                            "sal/al_metric",
+                            [sal_dict["al_metric"][g] for g in al_with_metric],
+                            iteration,
+                        )
+                        self.al_writer.add_scalar(
+                            "sal/al_num_frames", len(al_guids), iteration
+                        )
+                        self.al_writer.add_scalar(
+                            "sal/sal_num_frames", len(sal_guids), iteration
+                        )
+                    except Exception as ex:  # mirror reference's tolerance
+                        self._logger.warning("Metrics writer error: %s" % ex)
+                if sal_guids:
+                    with open(
+                        self._expr_dir("SAL-GUID-ITER-%d" % iteration), "w"
+                    ) as f:
+                        f.write(json.dumps(sal_guids))
+                with open(self._expr_dir("SAL-DICT-ITER-%d" % iteration), "w") as f:
+                    f.write(json.dumps(sal_dict))
+        if _is_main():
+            os.makedirs(self._expr_dir(), exist_ok=True)
+            with open(self._expr_dir("SAMPLED-GUID-ITER-%d" % iteration), "w") as f:
+                f.write(json.dumps(al_guids))
+        return train_pool
+
+    def _random_sample_frames(self, pool, num_frames: int, salt: int = 0) -> List[str]:
+        """Reference: strategy.py:868-878."""
+        rng = self._rng(salt)
+        guids = list(pool.unlabeled_data.keys())
+        idx = rng.choice(len(guids), size=num_frames, replace=False)
+        picked = [guids[i] for i in idx]
+        pool.label_by_frame_guids(picked)
+        return picked
+
+    def _sal_pseudo_labeling(
+        self, train_pool, al_num_frames, pseudo_num_frames, state, iteration
+    ):
+        """Scoring + selection + pseudo-labeling
+        (reference: strategy.py:915-1002)."""
+        cfg = self.al_cfg
+        if cfg.AL.STRATEGY == "RANDOM" and cfg.EXPR_TYPE == "AL":
+            # no inference needed (reference: strategy.py:918-923)
+            al_guids = self._random_sample_frames(train_pool, al_num_frames,
+                                                  salt=iteration)
+            return al_guids, [], {}
+
+        train_pool.resample_unlabeled_data()
+        sal_dict = self._compute_sal_dict(train_pool, state, iteration)
+        al_metric_dict = {
+            guid: v
+            for guid, v in sal_dict["al_metric"].items()
+            if not math.isnan(v)
+        }
+        if cfg.AL.STRATEGY == "CORESET":
+            cs = coreset_ops.CoreSet(
+                sal_dict["pred_3d_keypoints"],
+                train_pool.get_al_dict_for_coreset(),
+                self.joint_root_index,
+            )
+            al_guids = cs.select_batch(al_num_frames)
+        else:
+            al_guids = nlargest(
+                al_num_frames, al_metric_dict, key=al_metric_dict.get
+            )
+        train_pool.label_by_frame_guids(al_guids)
+
+        sal_sampled_guids: List[str] = []
+        if cfg.EXPR_TYPE == "SAL":
+            # Filters (reference: strategy.py:952-967): not AL-selected,
+            # finite, not already pseudo-labeled, enough RANSAC inliers.
+            al_set = set(al_guids)
+            already = set(train_pool.pseudo_label_guids)
+            sal_metric_dict = {
+                guid: v
+                for guid, v in sal_dict["sal_metric"].items()
+                if (
+                    guid not in al_set
+                    and not math.isnan(v)
+                    and guid not in already
+                    and sal_dict["inlier_count"][guid] > cfg.SAL.INLIER_THRESHOLD
+                )
+            }
+            sal_guids = sorted(sal_metric_dict, key=sal_metric_dict.get)
+            if cfg.SAL.CLUSTER_FILE_PATH:
+                self._logger.info(
+                    "Pseudo-labeling frames by %d clusters." % cfg.SAL.NUM_CLUSTERS
+                )
+                counter = [0] * cfg.SAL.NUM_CLUSTERS
+                per_cluster = pseudo_num_frames // cfg.SAL.NUM_CLUSTERS
+                for guid in sal_guids:
+                    kp = np.asarray(
+                        sal_dict["pred_3d_keypoints"][guid], dtype=np.float64
+                    ).T  # [3, K]
+                    kp = kp - kp[:, self.joint_root_index : self.joint_root_index + 1]
+                    cluster_id = int(self.kmeans.predict(kp.flatten()[None])[0])
+                    if counter[cluster_id] < per_cluster:
+                        counter[cluster_id] += 1
+                        sal_sampled_guids.append(guid)
+            elif sal_guids and pseudo_num_frames > 0:
+                head = sal_guids[: 2 * pseudo_num_frames]
+                take = min(pseudo_num_frames, len(head))
+                idx = self._rng(iteration).choice(
+                    len(head), size=take, replace=False
+                )
+                sal_sampled_guids = [head[i] for i in idx]
+            self._logger.info("Pseudo-labeling %d frames." % len(sal_sampled_guids))
+            if sal_sampled_guids:
+                train_pool.pseudo_label_by_frame_guids(
+                    sal_sampled_guids, sal_dict["pred_3d_keypoints"]
+                )
+        return al_guids, sal_sampled_guids, sal_dict
+
+    def _compute_sal_dict(self, pool, state, iteration: int = 0) -> Dict:
+        """Score the whole unlabeled pool (reference: strategy.py:1004-1147).
+
+        One jitted score_step per fixed-shape batch; the host merely keys
+        results by guid.
+        """
+        cfg = self.al_cfg
+        sal_dict = {
+            "al_metric": OrderedDict(),
+            "sal_metric": OrderedDict(),
+            "inlier_count": OrderedDict(),
+            "pred_3d_keypoints": OrderedDict(),
+            "mkpe": OrderedDict(),
+        }
+        loader = self._get_loader(pool, cfg.AL.INFERENCE.BATCH_SIZE)
+        num_views = pool.get_num_view_per_frame()
+        pairs = jnp.asarray(self.engine.pairs(num_views))
+        key = jax.random.PRNGKey(
+            (int(cfg.RANDOM_SEED) + 7919 * (iteration + 1)) & 0x7FFFFFFF
+        )
+        t0 = time.time()
+        n_frames = 0
+        for batch in loader:
+            key, bkey, skey = jax.random.split(key, 3)
+            images, _ = self._device_batch(batch, train=False, key=bkey)
+            out = self.engine.score_step(
+                state.params,
+                state.batch_stats,
+                images,
+                self._put(batch["proj_matrices"], view_axis=True),
+                self._put(batch["joint_valid"]),
+                pairs,
+                self._put(batch["3d_keypoints"]),
+                skey,
+                al_strategy=cfg.AL.STRATEGY,
+                mpe_aggregate=cfg.AL.MPE_CONFIG,
+                hp_aggregate=cfg.AL.HP_CONFIG,
+                bsb_aggregate=cfg.AL.BSB_CONFIG,
+            )
+            out = jax.device_get(out)
+            for i, guid in enumerate(batch["guid"]):
+                if not batch["frame_valid"][i]:
+                    continue
+                sal_dict["sal_metric"][guid] = float(out["sal_metric"][i])
+                sal_dict["inlier_count"][guid] = float(out["inlier_count"][i])
+                sal_dict["pred_3d_keypoints"][guid] = out["keypoints_3d"][i].tolist()
+                sal_dict["al_metric"][guid] = float(out["al_metric"][i])
+                sal_dict["mkpe"][guid] = float(out["mkpe"][i])
+                n_frames += 1
+        dt = time.time() - t0
+        if n_frames:
+            self._logger.info(
+                "Scored %d frames x %d views in %.2fs (%.2f frames/s)."
+                % (n_frames, num_views, dt, n_frames / dt)
+            )
+        return sal_dict
+
+    # -------------------------------------------------------------- training
+
+    def al_iteration(self, state, train_pool, val_pool, iteration):
+        """Reference: strategy.py:240-265."""
+        train_cfg = self.al_cfg.clone()
+        train_cfg.EXPR_NAME = train_cfg.EXPR_NAME + "/ITER-%d" % iteration
+        self._train(iteration, train_cfg, train_pool, val_pool, state)
+
+    def run_fully_supervised_training(self, state, train_pool, val_pool):
+        """Reference: strategy.py:279-313."""
+        if self.al_cfg.TRAIN.FULLY_SUPERVISED_FRAME_COUNT != -1:
+            self._random_sample_frames(
+                train_pool, self.al_cfg.TRAIN.FULLY_SUPERVISED_FRAME_COUNT
+            )
+        else:
+            train_pool.label_all()
+        train_cfg = self.al_cfg.clone()
+        train_cfg.EXPR_NAME = train_cfg.EXPR_NAME + "/FULLY_SUPERVISED"
+        self._train(-1, train_cfg, train_pool, val_pool, state)
+
+    def _prepare_experiment(self, cfg) -> Tuple[str, MetricsWriter]:
+        """Reference: strategy.py:651-679."""
+        experiment_dir = os.path.join(cfg.LOG_DIR, cfg.EXPR_NAME)
+        os.makedirs(experiment_dir, exist_ok=True)
+        checkpoints_dir = os.path.join(experiment_dir, "checkpoints")
+        os.makedirs(checkpoints_dir, exist_ok=True)
+        with open(os.path.join(experiment_dir, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+        writer = MetricsWriter(os.path.join(experiment_dir, "summary"))
+        return checkpoints_dir, writer
+
+    def _load_weights(self, cfg, state: TrainState) -> TrainState:
+        """RESTORE_FROM (strict) / INIT_WEIGHT (filtered pretrained init);
+        reference: strategy.py:713-745."""
+        if cfg.TRAIN.RESTORE_FROM:
+            self._logger.info("Loading weights from %s" % cfg.TRAIN.RESTORE_FROM)
+            return ckpt.restore_params_only(cfg.TRAIN.RESTORE_FROM, state)
+        if cfg.TRAIN.INIT_WEIGHT:
+            from .models import convert
+
+            self._logger.info("Initializing weights from %s" % cfg.TRAIN.INIT_WEIGHT)
+            return convert.load_pretrained(cfg, cfg.TRAIN.INIT_WEIGHT, state)
+        self._logger.info("Training from scratch.")
+        return state
+
+    def _train(self, iteration_idx, train_cfg, train_pool, val_pool, state):
+        """The training loop (reference: strategy.py:422-546)."""
+        checkpoints_dir, writer = (
+            self._prepare_experiment(train_cfg) if _is_main() else (None, None)
+        )
+        val_pool.label_all()
+        val_pool.resample_frames(
+            min(train_cfg.TRAIN.VAL_SIZE, len(val_pool.labeled_data)),
+            rng=self._rng(1),
+        )
+        val_loader = self._get_loader(val_pool, train_cfg.TRAIN.BATCH_SIZE)
+        state = self._load_weights(train_cfg, state)
+
+        train_pool.resample_frames(
+            -1, train_cfg.DATA.EPOCH_SIZE, rng=self._rng(2 + max(iteration_idx, 0))
+        )
+        train_loader = self._get_loader(train_pool, train_cfg.TRAIN.BATCH_SIZE)
+        total_steps = max(
+            train_cfg.TRAIN.OPTIM.TOTAL_STEPS, train_cfg.TRAIN.LOG_EVERY_ITER
+        )
+        key = jax.random.PRNGKey(int(train_cfg.RANDOM_SEED) & 0x7FFFFFFF)
+        epoch, global_step = 0, 0
+        last_loss = float("nan")
+        t_start, steps_timed = time.time(), 0
+        while global_step < total_steps:
+            epoch += 1
+            for batch in train_loader:
+                key, bkey = jax.random.split(key)
+                images, gt_heat = self._device_batch(batch, train=True, key=bkey)
+                state, metrics = self.engine.train_step(
+                    state,
+                    images,
+                    gt_heat,
+                    self._put(batch["per_view_joint_valid"], view_axis=True),
+                    self._put(batch["frame_valid"]),
+                )
+                global_step += 1
+                steps_timed += 1
+                if bool(metrics["skipped"]):
+                    self._logger.warning(
+                        "Training loss %.4f invalid at step %d. Step skipped."
+                        % (float(metrics["loss"]), global_step)
+                    )
+                last_loss = float(metrics["loss"])
+                if global_step % train_cfg.TRAIN.LOG_EVERY_ITER == 0:
+                    eval_results = self._evaluate_all(iteration_idx, state, val_loader)
+                    if _is_main():
+                        ckpt.save_checkpoint(
+                            os.path.join(
+                                checkpoints_dir,
+                                "CKPT-E%d-MKPE%.2f"
+                                % (global_step, eval_results["mkpe"]),
+                            ),
+                            state,
+                            epoch,
+                        )
+                        ckpt.save_checkpoint(
+                            os.path.join(checkpoints_dir, "CKPT-FINAL"), state, epoch
+                        )
+                        writer.add_scalar(
+                            "lr", float(metrics["lr"]), global_step
+                        )
+                        writer.add_scalar("3D MKPE", eval_results["mkpe"], global_step)
+                        writer.add_scalar("loss/train", last_loss, global_step)
+                        writer.add_pck_curves(
+                            "3DPCK",
+                            global_step,
+                            eval_results["thresholds"],
+                            eval_results["pcks"],
+                        )
+                        if "pckh_thresholds" in eval_results:
+                            writer.add_pck_curves(
+                                "3DPCKH",
+                                global_step,
+                                eval_results["pckh_thresholds"],
+                                eval_results["pckh_pcks"],
+                            )
+                        steps_per_sec = steps_timed / max(time.time() - t_start, 1e-9)
+                        writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
+                        self._logger.info(
+                            "[EPOCH %d][STEP %d] loss %.4f mkpe %.2f (%.2f steps/s)"
+                            % (
+                                epoch,
+                                global_step,
+                                last_loss,
+                                eval_results["mkpe"],
+                                steps_per_sec,
+                            )
+                        )
+                        t_start, steps_timed = time.time(), 0
+                if global_step >= total_steps:
+                    break
+        if _is_main() and writer is not None:
+            writer.close()
+        return state
+
+    # ------------------------------------------------------------- evaluation
+
+    def _evaluate_all(self, iteration_idx, state, val_loader) -> Dict:
+        """3D MKPE + PCK(+PCKh) over the validation loader
+        (reference: strategy.py:584-649)."""
+        preds, gts, valids = [], [], []
+        pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
+        for batch in val_loader:
+            images, _ = self._device_batch(
+                batch, train=False, key=jax.random.PRNGKey(0)
+            )
+            out = self.engine.eval_step(
+                state.params,
+                state.batch_stats,
+                images,
+                self._put(batch["proj_matrices"], view_axis=True),
+                self._put(batch["joint_valid"]),
+                pairs,
+            )
+            kp3d = np.asarray(out["keypoints_3d"])
+            mask = np.asarray(batch["frame_valid"])
+            preds.append(kp3d[mask])
+            gts.append(np.asarray(batch["3d_keypoints"])[mask])
+            valids.append(np.asarray(batch["joint_valid"])[mask].astype(np.float32))
+        pred = np.concatenate(preds)
+        gt = np.concatenate(gts)
+        valid = np.concatenate(valids)
+        mkpe = float(evaluation.compute_mkpe(pred, gt, valid))
+        thresholds, pcks = evaluation.compute_3d_pck_figure(pred, gt, valid)
+        results = {"mkpe": mkpe, "thresholds": list(thresholds), "pcks": pcks}
+        if self.al_cfg.DATA.TYPE != "ih26m":
+            pckh_thresholds, pckh_pcks = evaluation.compute_3d_pckh_figure(pred, gt)
+            results["pckh_thresholds"] = list(pckh_thresholds)
+            results["pckh_pcks"] = pckh_pcks
+        return results
+
+    def _prepare_val_dataset_for_eval(self, val_pool) -> FrameLoader:
+        """Reference: strategy.py:905-913."""
+        val_pool.label_all()
+        val_pool.resample_frames(-1, rng=self._rng(3))
+        return self._get_loader(val_pool, self.al_cfg.AL.INFERENCE.BATCH_SIZE)
+
+    def _evaluate_on_checkpoint(
+        self, iteration_idx, state, checkpoint_path, val_loader
+    ) -> Dict:
+        """Reference: strategy.py:880-903."""
+        self._logger.info(
+            "AL_iter %s: loading weights from %s" % (iteration_idx, checkpoint_path)
+        )
+        state = ckpt.restore_params_only(checkpoint_path, state)
+        result = self._evaluate_all(iteration_idx, state, val_loader)
+        result["pcks"] = [float(np.mean(p)) for p in result["pcks"]]
+        if "pckh_pcks" in result:
+            result["pckh_pcks"] = [float(np.mean(p)) for p in result["pckh_pcks"]]
+        return result
+
+    def run_eval(self, state, val_pool) -> Dict:
+        """EXPR_TYPE == EVAL (reference: strategy.py:228-238)."""
+        val_loader = self._prepare_val_dataset_for_eval(val_pool)
+        result = self._evaluate_on_checkpoint(
+            -1, state, self.al_cfg.AL.INFERENCE.RESTORE_FROM, val_loader
+        )
+        return {-1: result}
+
+    def run_al_eval(self, state, val_pool) -> Dict:
+        """EXPR_TYPE == AL_EVAL: evaluate every AL iteration's final
+        checkpoint (reference: strategy.py:193-226)."""
+        val_loader = self._prepare_val_dataset_for_eval(val_pool)
+        eval_dict = {}
+        if self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME:
+            for iteration in range(self.al_cfg.AL.ITERATIONS):
+                size = (1 + iteration) * self.al_cfg.AL.ITER_AMOUNT
+                path = os.path.join(
+                    self.al_cfg.LOG_DIR,
+                    self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME,
+                    "ITER-%d" % iteration,
+                    "checkpoints",
+                    "CKPT-FINAL",
+                )
+                if ckpt.checkpoint_exists(path):
+                    eval_dict[size] = self._evaluate_on_checkpoint(
+                        iteration, state, path, val_loader
+                    )
+        for size, result in eval_dict.items():
+            self._logger.info("size %d -> MKPE %.2f" % (size, result["mkpe"]))
+        return eval_dict
+
+    # ------------------------------------------------------------- clustering
+
+    def cluster(self, state, train_pool):
+        """EXPR_TYPE == CLUSTER (reference: strategy.py:137-191; reachable
+        here without the reference's 'CLUSETER' typo, workflow.py:99)."""
+        cfg = self.al_cfg
+        train_pool.label_all()
+        train_pool.resample_frames(-1, rng=self._rng(4))
+        cluster_dict = {}
+        if cfg.AL.CLUSTER.TYPE == "POSE":
+            for frame in train_pool.data:
+                cluster_dict[frame["guid"]] = np.asarray(
+                    frame["3d_keypoints"]
+                ).tolist()
+        elif cfg.AL.CLUSTER.TYPE == "LOSS":
+            if cfg.AL.CLUSTER.RESTORE_FROM:
+                state = ckpt.restore_params_only(cfg.AL.CLUSTER.RESTORE_FROM, state)
+            loader = self._get_loader(train_pool, cfg.TRAIN.BATCH_SIZE)
+            for batch in loader:
+                images, gt_heat = self._device_batch(
+                    batch, train=False, key=jax.random.PRNGKey(0)
+                )
+                losses = np.asarray(
+                    self.engine.loss_step(
+                        state.params, state.batch_stats, images, gt_heat
+                    )
+                )
+                for i, guid in enumerate(batch["guid"]):
+                    if batch["frame_valid"][i]:
+                        cluster_dict[guid] = float(losses[i])
+        else:
+            raise ValueError("AL.CLUSTER.TYPE must be POSE or LOSS")
+        if _is_main():
+            with open(cfg.AL.CLUSTER.SAVE_PATH, "w") as f:
+                json.dump(cluster_dict, f)
+        return cluster_dict
+
+    # ------------------------------------------------------- resume / restore
+
+    def restore_dataset(self, train_pool, iteration: int):
+        """Replay guid logs into the labeled pool
+        (reference: strategy.py:315-336)."""
+        for i in range(iteration):
+            with open(self._expr_dir("SAMPLED-GUID-ITER-%d" % i)) as f:
+                guids = json.loads(f.readline())
+            train_pool.label_by_frame_guids(guids)
+        if self.al_cfg.EXPR_TYPE == "SAL" and iteration > 1:
+            path = self._expr_dir("SAL-GUID-ITER-%d" % (iteration - 1))
+            if os.path.isfile(path):
+                with open(path) as f:
+                    train_pool.pseudo_label_guids = json.loads(f.readline())
+        self._logger.info(
+            "Restored dataset up to iteration %d; labeled size %d."
+            % (iteration - 1, len(train_pool.labeled_data))
+        )
+        return train_pool
+
+    def _copy_previous_checkpoints(self):
+        """Copy checkpoints + guid logs from a previous experiment
+        (reference: strategy.py:338-389)."""
+        import shutil
+
+        for i in range(self.al_cfg.AL.START_ITER):
+            src_ckpt = os.path.join(
+                self.al_cfg.AL.PREVIOUS_AL_LOG_DIR,
+                "ITER-%d" % i,
+                "checkpoints",
+                "CKPT-FINAL",
+            )
+            dst_dir = self._expr_dir("ITER-%d" % i, "checkpoints")
+            os.makedirs(dst_dir, exist_ok=True)
+            if os.path.isdir(src_ckpt):
+                shutil.copytree(
+                    src_ckpt, os.path.join(dst_dir, "CKPT-FINAL"),
+                    dirs_exist_ok=True,
+                )
+            else:
+                self._logger.info("Checkpoint not found: %s" % src_ckpt)
+            for name in ("SAMPLED-GUID-ITER-%d" % i, "SAL-GUID-ITER-%d" % i):
+                src = os.path.join(self.al_cfg.AL.PREVIOUS_AL_LOG_DIR, name)
+                if os.path.isfile(src):
+                    shutil.copy(src, self._expr_dir(name))
+                else:
+                    self._logger.warning("GUID log not found: %s" % src)
+
+    def prepare_al_experiments(self):
+        """Reference: strategy.py:267-277."""
+        os.makedirs(self._expr_dir(), exist_ok=True)
+        self.al_writer = MetricsWriter(self._expr_dir("AL"))
+        self.al_writer.add_text("comment", self.al_cfg.COMMENT, 0)

@@ -1,0 +1,96 @@
+"""Experiment metrics: JSONL always, TensorBoard when available.
+
+The reference writes scalars, PCK curves, rendered matplotlib figures and
+SAL histograms to TensorBoard (strategy.py:651-679, 791-848; SURVEY.md §5).
+Here every record also lands in ``metrics.jsonl`` (machine-readable, no TB
+dependency); TensorBoard mirrors it when the `tensorboard` package exists.
+The scalar taxonomy matches the reference (lr, loss/train, 3D MKPE,
+"3DPCK@t/average", per-keypoint curves, sal/* histograms).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _try_tb(log_dir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except Exception:
+        return None
+
+
+class MetricsWriter:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = _try_tb(log_dir)
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        self._write({"tag": tag, "value": float(value), "step": int(step)})
+        if self._tb:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def add_histogram(self, tag: str, values, step: int) -> None:
+        arr = np.asarray(values, dtype=np.float64)
+        self._write(
+            {
+                "tag": tag,
+                "kind": "histogram",
+                "step": int(step),
+                "count": int(arr.size),
+                "mean": float(arr.mean()) if arr.size else 0.0,
+                "std": float(arr.std()) if arr.size else 0.0,
+                "min": float(arr.min()) if arr.size else 0.0,
+                "max": float(arr.max()) if arr.size else 0.0,
+            }
+        )
+        if self._tb:
+            self._tb.add_histogram(tag, arr, step)
+
+    def add_text(self, tag: str, text: str, step: int = 0) -> None:
+        self._write({"tag": tag, "kind": "text", "text": text, "step": int(step)})
+        if self._tb:
+            self._tb.add_text(tag, text, step)
+
+    def add_pck_curves(
+        self, metric_name: str, step: int, thresholds: Sequence[float], pcks
+    ) -> None:
+        """The reference's per-threshold average + per-keypoint scalars
+        (strategy.py:808-848), minus the rendered matplotlib images."""
+        num_joints = len(pcks[0])
+        per_joint = [[] for _ in range(num_joints)]
+        avgs = []
+        for threshold, pck in zip(thresholds, pcks):
+            avg = float(np.mean(pck))
+            avgs.append(avg)
+            self.add_scalar("%s@%.1f/average" % (metric_name, threshold), avg, step)
+            for kp_id, v in enumerate(pck):
+                self.add_scalar(
+                    "%s@%.1f/keypoint-%d" % (metric_name, threshold, kp_id), v, step
+                )
+                per_joint[kp_id].append(v)
+        for kp_id in range(num_joints):
+            self.add_scalar(
+                "%s-AVG/keypoint-%d" % (metric_name, kp_id),
+                float(np.mean(per_joint[kp_id])),
+                step,
+            )
+
+    def _write(self, record: dict) -> None:
+        record["time"] = time.time()
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb:
+            self._tb.close()

@@ -4,8 +4,10 @@ collective paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Override (not setdefault):
+# the driver environment exports JAX_PLATFORMS=axon (the tunneled TPU) and
+# tests must run hermetically on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,3 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: this box has one CPU core and recompiles
+# dominate test time; cached executables make re-runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# A site hook pre-imports jax at interpreter startup with the driver's
+# JAX_PLATFORMS=axon already parsed, so the env override above is too late
+# for the config default — force it through the config API as well (still
+# before any backend initializes).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

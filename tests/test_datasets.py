@@ -1,0 +1,159 @@
+"""Dataset indexers + host/device pipeline on hermetic synthetic trees
+(reference dataset contracts: tests/test_panoptics_dataset.py:16-78,
+tests/test_ih26m_dataset.py:16-108 — which require real data; ours don't)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.data import build_dataset
+from multi_view_active_learning_tpu.data.ih26m import (
+    InterHand26MDataset,
+    select_common_cameras,
+)
+from multi_view_active_learning_tpu.data.pipeline import (
+    FrameLoader,
+    device_prepare,
+    prepare_views_host,
+)
+from multi_view_active_learning_tpu.data.synthetic import (
+    generate_ih26m_tree,
+    generate_panoptic_tree,
+)
+from multi_view_active_learning_tpu.ops import geometry
+
+NUM_JOINTS, NUM_CAMS, IMG = 19, 4, 256
+
+
+@pytest.fixture(scope="module")
+def panoptic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("panoptic")
+    return generate_panoptic_tree(
+        str(root), num_train_frames=4, num_val_frames=2,
+        num_joints=NUM_JOINTS, num_cameras=NUM_CAMS,
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg(panoptic_root):
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = panoptic_root
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.TRAIN.BATCH_SIZE = 2
+    return cfg
+
+
+def test_panoptic_indexer(cfg):
+    ds = build_dataset(cfg, "train")
+    assert len(ds.unlabeled_data) == 4
+    assert ds.get_num_view_per_frame() == NUM_CAMS
+    frame = next(iter(ds.unlabeled_data.values()))
+    assert frame["3d_keypoints"].shape == (NUM_JOINTS, 3)
+    assert len(frame["views"]) == NUM_CAMS
+    assert "-" in frame["guid"]
+
+
+def test_host_prepare_shapes_and_projection_consistency(cfg):
+    ds = build_dataset(cfg, "train")
+    frame = next(iter(ds.unlabeled_data.values()))
+    out = prepare_views_host(frame, cfg.DATA, gt_stride=4)
+    assert out["images"].shape == (NUM_CAMS, IMG, IMG, 3)
+    assert out["images"].dtype == np.uint8
+    assert out["proj_matrices"].shape == (NUM_CAMS, 3, 4)
+    assert out["2d_keypoints"].shape == (NUM_CAMS, NUM_JOINTS, 2)
+    # The emitted projection matrix must reproduce the emitted 2D keypoints
+    # (camera crop/resize updates are consistent with the distortion-free
+    # projection for zero-distortion synthetic cameras).
+    kp3d = frame["3d_keypoints"]
+    for v in range(NUM_CAMS):
+        reproj = geometry.project_points_np(
+            out["proj_matrices"][v].astype(np.float64), kp3d
+        )
+        np.testing.assert_allclose(reproj, out["2d_keypoints"][v], atol=1e-3)
+    # keypoints land inside the crop
+    assert (out["2d_keypoints"] >= 0).all()
+    assert (out["2d_keypoints"] < IMG).all()
+
+
+def test_frame_loader_batches_and_padding(cfg):
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(0))
+    loader = FrameLoader(ds, cfg.DATA, 4, batch_size=3, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 2  # 4 frames / batch 3 -> 2 (padded tail)
+    b = batches[-1]
+    assert b["images"].shape == (3, NUM_CAMS, IMG, IMG, 3)
+    np.testing.assert_array_equal(b["frame_valid"], [True, False, False])
+    assert len(b["guid"]) == 3
+
+
+def test_frame_loader_sharding(cfg):
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, rng=np.random.default_rng(0))
+    guids = set()
+    for shard in range(2):
+        loader = FrameLoader(
+            ds, cfg.DATA, 4, batch_size=2, num_shards=2, shard_index=shard,
+            prefetch=0,
+        )
+        for b in loader:
+            for g, v in zip(b["guid"], b["frame_valid"]):
+                if v:
+                    guids.add(g)
+    assert len(guids) == 4  # both shards together cover the pool exactly
+
+
+def test_device_prepare_heatmaps_peak_at_keypoints(cfg):
+    ds = build_dataset(cfg, "train")
+    frame = next(iter(ds.unlabeled_data.values()))
+    out = prepare_views_host(frame, cfg.DATA, gt_stride=4)
+    images = jnp.array(out["images"][None])
+    kp2d = jnp.array(out["2d_keypoints"][None])
+    sigma = jnp.array([1.0])
+    imgs, heat = device_prepare(
+        images, kp2d, sigma, jax.random.PRNGKey(0), stride=4, train=False
+    )
+    assert imgs.shape == (1, NUM_CAMS, IMG, IMG, 3)
+    assert heat.shape == (1, NUM_CAMS, IMG // 4, IMG // 4, NUM_JOINTS)
+    # heatmap argmax should be the grid-rounded keypoint
+    hm = np.asarray(heat)[0, 0, :, :, 0]
+    y, x = np.unravel_index(hm.argmax(), hm.shape)
+    expect = np.asarray(out["2d_keypoints"])[0, 0] / 4.0
+    assert abs(x - expect[0]) <= 0.5 + 1e-6
+    assert abs(y - expect[1]) <= 0.5 + 1e-6
+    # normalization: mean-ish ImageNet range
+    assert np.asarray(imgs).min() > -3.0 and np.asarray(imgs).max() < 3.0
+
+
+def test_ih26m_indexer(tmp_path):
+    root = generate_ih26m_tree(str(tmp_path), num_frames=3, num_cameras=4)
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 42
+    cfg.DATA.IH26M.HOME = root
+    cfg.DATA.IH26M.CAPTURE_RANGE = [0, 1]
+    cfg.DATA.IH26M.NUM_VIEW_PER_FRAME = 3
+    ds = InterHand26MDataset(cfg.DATA, 4, split="train", root=root)
+    assert len(ds.unlabeled_data) == 3
+    assert ds.get_num_view_per_frame() == 3
+    frame = next(iter(ds.unlabeled_data.values()))
+    assert frame["3d_keypoints"].shape == (42, 3)
+    assert frame["joint_valid"].shape == (42,)
+    # host prep works on ih26m frames too
+    out = prepare_views_host(frame, cfg.DATA, gt_stride=4)
+    assert out["images"].shape == (3, 256, 256, 3)
+
+
+def test_select_common_cameras_spread():
+    # 6 cameras on a line; greedy max-min spread from cam 0 picks the ends
+    # before the middle.
+    all_cam = {
+        "0": {"campos": {f"c{i}": [float(i), 0.0, 0.0] for i in range(6)}}
+    }
+    picked = select_common_cameras(all_cam, ["0"], 3)
+    assert "c0" in picked and "c5" in picked
+    assert len(picked) == 3

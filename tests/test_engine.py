@@ -1,0 +1,97 @@
+"""Engine: LR schedule, train-step skip semantics, loss decrease, cluster
+loss step (reference: strategy.py:405-546, 473-484)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.engine import Engine, make_lr_schedule
+
+
+def _cfg(total=10, clip=10.0):
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.DATA.INPUT_WIDTH = 32
+    cfg.DATA.INPUT_HEIGHT = 32
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TRAIN.LOSS_CLIP_VALUE = clip
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = total
+    return cfg
+
+
+def test_lr_schedule_steplr_semantics():
+    cfg = _cfg()
+    cfg.TRAIN.OPTIM.LR = 0.001
+    cfg.TRAIN.OPTIM.LR_DECAY_STEP_SIZE = 3000
+    sched = make_lr_schedule(cfg)
+    assert abs(float(sched(0)) - 0.001) < 1e-9
+    assert abs(float(sched(2999)) - 0.001) < 1e-9
+    assert abs(float(sched(3000)) - 0.0001) < 1e-9
+    assert abs(float(sched(6000)) - 0.00001) < 1e-9
+
+
+def _batch(B=2, V=2, K=4, rng=None):
+    rng = rng or np.random.default_rng(0)
+    images = rng.normal(size=(B, V, 32, 32, 3)).astype(np.float32)
+    gt = rng.random((B, V, 8, 8, K)).astype(np.float32) * 0.1
+    pvjv = np.ones((B, V, K), bool)
+    fv = np.ones(B, bool)
+    return tuple(jnp.asarray(a) for a in (images, gt, pvjv, fv))
+
+
+def test_train_step_decreases_loss():
+    cfg = _cfg()
+    cfg.TRAIN.OPTIM.LR = 0.002
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    batch = _batch()
+    losses = []
+    for _ in range(8):
+        state, metrics = engine.train_step(state, *batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert not any(np.isnan(losses))
+
+
+def test_train_step_skips_on_loss_clip():
+    cfg = _cfg(clip=1e-12)  # everything exceeds the clip -> always skip
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    batch = _batch()
+    p0 = jax.device_get(state.params)
+    state, metrics = engine.train_step(state, *batch)
+    assert bool(metrics["skipped"])
+    p1 = jax.device_get(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)  # params untouched
+    assert int(state.step) == 1  # step still advances
+
+
+def test_padded_frames_contribute_zero_loss():
+    cfg = _cfg()
+    engine = Engine(cfg)
+    # train_step donates its state: use two identically-seeded states.
+    state_a = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    state_b = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    images, gt, pvjv, _ = _batch()
+    fv_all = jnp.asarray(np.ones(2, bool))
+    fv_half = jnp.asarray(np.array([True, False]))
+    _, m_all = engine.train_step(state_a, images, gt, pvjv, fv_all)
+    _, m_half = engine.train_step(state_b, images, gt, pvjv, fv_half)
+    # Identical data in frame 0 -> masking frame 1 must reduce the loss.
+    assert float(m_half["loss"]) < float(m_all["loss"])
+
+
+def test_loss_step_per_frame():
+    cfg = _cfg()
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    images, gt, _, _ = _batch()
+    losses = np.asarray(
+        engine.loss_step(state.params, state.batch_stats, images, gt)
+    )
+    assert losses.shape == (2,)
+    assert (losses > 0).all()

@@ -1,0 +1,125 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: the dry-run
+entry point, sharded-vs-unsharded scoring equivalence, and mesh helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_view_active_learning_tpu import parallel
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.engine import Engine
+from multi_view_active_learning_tpu.ops import triangulate
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = parallel.make_mesh(-1, 2)
+    assert dict(mesh.shape) == {"data": 4, "view": 2}
+    mesh = parallel.make_mesh(8, 1)
+    assert dict(mesh.shape) == {"data": 8, "view": 1}
+    with pytest.raises(ValueError):
+        parallel.make_mesh(3, 2)  # 6 != 8
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+def test_sharded_triangulation_matches_single_device():
+    """The triangulation+metric stage produces identical decisions under a
+    ('data', 'view') mesh.  Heatmaps are deterministic synthetic peaks so
+    hard-argmax decode is unambiguous; a conv forward with sharded batches
+    may legitimately differ in f32 reduction order, which would make a
+    bitwise comparison of a full score_step flaky."""
+    from helpers import synthetic_multiview_problem
+
+    B, V, K, HM = 4, 4, 8, 64  # helper cameras assume a 256px image plane
+    heatmaps, proj, pts3d, _ = synthetic_multiview_problem(
+        B, V, K, HM, stride=4, seed=2
+    )
+    valid = np.ones((B, K), bool)
+    pairs = jnp.asarray(triangulate.all_view_pairs(V))
+
+    def run(hm_in, proj_in, valid_in):
+        out = triangulate.triangulate_frames(
+            hm_in, proj_in, valid_in, pairs, stride=4, method="power"
+        )
+        return jax.device_get(out)
+
+    ref = run(*(jnp.asarray(a) for a in (heatmaps, proj, valid)))
+
+    mesh = parallel.make_mesh(4, 2)
+    sharded = run(
+        jax.device_put(heatmaps, parallel.batch_sharding(mesh, 5)),
+        jax.device_put(proj, parallel.batch_sharding(mesh, 4)),
+        jax.device_put(valid, parallel.data_sharding(mesh, 2)),
+    )
+    np.testing.assert_array_equal(ref["inlier_count"], sharded["inlier_count"])
+    np.testing.assert_allclose(ref["metric"], sharded["metric"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        ref["keypoints_3d"], sharded["keypoints_3d"], rtol=1e-3, atol=1e-2
+    )
+    err = np.linalg.norm(sharded["keypoints_3d"] - pts3d, axis=-1)
+    assert err.max() < 5.0
+
+
+def test_sharded_forward_runs_and_is_close():
+    """Full score_step under the mesh: decisions may differ only within f32
+    reduction-order noise of the conv forward."""
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.DATA.INPUT_WIDTH = 32
+    cfg.DATA.INPUT_HEIGHT = 32
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
+
+    B, V, K = 4, 4, 4
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(B, V, 32, 32, 3)).astype(np.float32)
+    proj = np.tile(
+        np.array(
+            [[300.0, 0, 16, 10], [0, 300.0, 16, 10], [0, 0, 1, 300.0]], np.float32
+        ),
+        (B, V, 1, 1),
+    )
+    valid = np.ones((B, K), bool)
+    gt = rng.normal(size=(B, K, 3)).astype(np.float32)
+    pairs = jnp.asarray(triangulate.all_view_pairs(V))
+    key = jax.random.PRNGKey(3)
+
+    mesh = parallel.make_mesh(4, 2)
+    out = engine.score_step(
+        state.params,
+        state.batch_stats,
+        jax.device_put(images, parallel.batch_sharding(mesh, 5)),
+        jax.device_put(proj, parallel.batch_sharding(mesh, 4)),
+        jax.device_put(valid, parallel.data_sharding(mesh, 2)),
+        pairs,
+        jax.device_put(gt, parallel.data_sharding(mesh, 3)),
+        key,
+        al_strategy="TRIANGULATION",
+    )
+    out = jax.device_get(out)
+    assert np.isfinite(out["al_metric"]).all()
+    assert out["keypoints_3d"].shape == (B, K, 3)
+    assert (out["inlier_count"] >= 2).all()
+
+
+def test_shard_batch_places_arrays():
+    mesh = parallel.make_mesh(8, 1)
+    batch = {
+        "images": np.zeros((8, 2, 4, 4, 3), np.float32),
+        "joint_valid": np.ones((8, 3), bool),
+        "guid": ["a"] * 8,
+    }
+    out = parallel.shard_batch(mesh, batch, view_keys=("images",))
+    assert out["guid"] == ["a"] * 8
+    assert out["images"].sharding.spec[0] == "data"

@@ -66,6 +66,24 @@ def test_eigh_and_svd_methods_agree(problem):
     )
 
 
+def test_power_method_matches_svd(problem):
+    """Adjugate inverse iteration (the TPU-default DLT solver) agrees with
+    the SVD reference path on well-posed rigs."""
+    heatmaps, proj, pts3d, _ = problem
+    r1 = _run(heatmaps, proj, method="power")
+    r2 = _run(heatmaps, proj, method="svd")
+    np.testing.assert_allclose(
+        np.asarray(r1["keypoints_3d"]), np.asarray(r2["keypoints_3d"]),
+        atol=0.2, rtol=1e-3,
+    )
+    err = np.linalg.norm(np.asarray(r1["keypoints_3d"]) - pts3d, axis=-1)
+    assert err.max() < 5.0
+    # identical inlier decisions
+    np.testing.assert_array_equal(
+        np.asarray(r1["inlier_count"]), np.asarray(r2["inlier_count"])
+    )
+
+
 def test_ransac_rejects_corrupted_view(problem):
     heatmaps, proj, pts3d, _ = problem
     bad = heatmaps.copy()
@@ -126,10 +144,12 @@ def test_pair_subsampling_is_deterministic():
 
 def test_soft_argmax_path_runs(problem):
     heatmaps, proj, pts3d, _ = problem
-    res = _run(heatmaps, proj, use_soft_argmax=True)
-    # one-hot peaks + softmax blur keeps the estimate close
+    # Sharpen the peaks so the spatial softmax concentrates (raw one-hot
+    # maps leave the softmax nearly uniform — mirroring how the reference
+    # only uses soft-argmax on trained, peaky heatmaps).
+    res = _run(heatmaps * 40.0, proj, use_soft_argmax=True)
     err = np.linalg.norm(np.asarray(res["keypoints_3d"]) - pts3d, axis=-1)
-    assert err.mean() < 30.0
+    assert err.mean() < 5.0
 
 
 def test_reprojection_xe_metric(problem):

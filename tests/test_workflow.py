@@ -1,0 +1,155 @@
+"""End-to-end experiments on the synthetic dataset: SUPERVISED training with
+eval, and the full AL/SAL loop with scoring, selection, pseudo-labeling,
+checkpoints, and guid-log resume (reference call stacks: SURVEY.md §3).
+
+Tiny shapes keep single-core CPU compiles tolerable: PoseResNet-18,
+64x64 inputs, 4 cameras, a handful of frames.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.data import build_dataset
+from multi_view_active_learning_tpu.data.synthetic import generate_panoptic_tree
+from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+from multi_view_active_learning_tpu.utils import checkpoint as ckpt
+from multi_view_active_learning_tpu import workflow
+
+NUM_JOINTS, NUM_CAMS = 19, 4
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return generate_panoptic_tree(
+        str(root), num_train_frames=8, num_val_frames=2,
+        num_joints=NUM_JOINTS, num_cameras=NUM_CAMS,
+    )
+
+
+def _tiny_cfg(tree, log_dir):
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = tree
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.DATA.INPUT_WIDTH = 64
+    cfg.DATA.INPUT_HEIGHT = 64
+    cfg.DATA.EPOCH_SIZE = 4
+    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.VAL_SIZE = 2
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 4
+    cfg.TRAIN.LOG_EVERY_ITER = 4
+    cfg.AL.INFERENCE.BATCH_SIZE = 2
+    cfg.LOG_DIR = log_dir
+    cfg.EXPR_NAME = "TEST"
+    return cfg
+
+
+def test_supervised_training_end_to_end(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    strategy = ActiveLearningStrategy(cfg)
+    train_pool = build_dataset(cfg, "train")
+    val_pool = build_dataset(cfg, "val")
+    strategy.run_fully_supervised_training(
+        strategy.new_state(), train_pool, val_pool
+    )
+    # checkpoints + config dump + metrics written
+    ckpt_dir = os.path.join(
+        str(tmp_path), "TEST", "FULLY_SUPERVISED", "checkpoints"
+    )
+    assert os.path.isdir(os.path.join(ckpt_dir, "CKPT-FINAL"))
+    assert glob.glob(os.path.join(ckpt_dir, "CKPT-E4-MKPE*"))
+    assert os.path.isfile(
+        os.path.join(str(tmp_path), "TEST", "FULLY_SUPERVISED", "config.yaml")
+    )
+    metrics = [
+        json.loads(line)
+        for line in open(
+            os.path.join(
+                str(tmp_path), "TEST", "FULLY_SUPERVISED", "summary", "metrics.jsonl"
+            )
+        )
+    ]
+    tags = {m["tag"] for m in metrics}
+    assert {"lr", "3D MKPE", "loss/train"} <= tags
+    assert any(t.startswith("3DPCK@") for t in tags)
+
+    # EVAL restores the final checkpoint and reports finite metrics.
+    eval_cfg = cfg.clone()
+    eval_cfg.EXPR_TYPE = "EVAL"
+    eval_cfg.AL.INFERENCE.RESTORE_FROM = os.path.join(ckpt_dir, "CKPT-FINAL")
+    result = ActiveLearningStrategy(eval_cfg).run_eval(
+        ActiveLearningStrategy(eval_cfg).new_state(), build_dataset(eval_cfg, "test")
+    )
+    assert np.isfinite(result[-1]["mkpe"])
+    assert len(result[-1]["pcks"]) == 5
+
+
+def test_sal_loop_end_to_end(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.ITERATIONS = 2
+    cfg.AL.INITIAL_AMOUNT = 2
+    cfg.AL.ITER_AMOUNT = 2
+    cfg.SAL.NUM_FRAMES = [0, 2]
+    cfg.SAL.INLIER_THRESHOLD = 0  # synthetic rigs have few views
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.prepare_al_experiments()
+    for iteration in range(cfg.AL.ITERATIONS):
+        workflow.run_al_iteration(cfg, None, iteration)
+
+    expr = os.path.join(str(tmp_path), "TEST")
+    # guid logs exist and replay correctly
+    for i in range(2):
+        assert os.path.isfile(os.path.join(expr, "SAMPLED-GUID-ITER-%d" % i))
+    sampled0 = json.load(open(os.path.join(expr, "SAMPLED-GUID-ITER-0")))
+    sampled1 = json.load(open(os.path.join(expr, "SAMPLED-GUID-ITER-1")))
+    assert len(sampled0) == 2 and len(sampled1) == 2
+    assert not set(sampled0) & set(sampled1)
+    sal_dict = json.load(open(os.path.join(expr, "SAL-DICT-ITER-1")))
+    assert set(sal_dict.keys()) == {
+        "al_metric", "sal_metric", "inlier_count", "pred_3d_keypoints", "mkpe",
+    }
+    # scored exactly the 6 frames still unlabeled at iteration 1
+    assert len(sal_dict["al_metric"]) == 6
+    # pseudo labels were attached (inlier threshold 0 admits everything)
+    sal_guids = json.load(open(os.path.join(expr, "SAL-GUID-ITER-1")))
+    assert 0 < len(sal_guids) <= 2
+    assert not set(sal_guids) & set(sampled1)
+    # per-iteration checkpoints exist
+    for i in range(2):
+        assert os.path.isdir(
+            os.path.join(expr, "ITER-%d" % i, "checkpoints", "CKPT-FINAL")
+        )
+
+    # replay: a fresh pool restored to iteration 2 has 4 labeled frames
+    pool = build_dataset(cfg, "train")
+    pool = strategy.restore_dataset(pool, 2)
+    assert len(pool.labeled_data) == 4
+    assert len(pool.unlabeled_data) == 4
+
+
+def test_al_eval_over_iterations(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "RANDOM"
+    cfg.AL.ITERATIONS = 1
+    cfg.AL.INITIAL_AMOUNT = 2
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.prepare_al_experiments()
+    workflow.run_al_iteration(cfg, None, 0)
+    eval_cfg = cfg.clone()
+    eval_cfg.EXPR_TYPE = "AL_EVAL"
+    eval_cfg.AL.INFERENCE.TRAINING_EXPR_NAME = cfg.EXPR_NAME
+    result = workflow.run_experiment_eval(eval_cfg, None)
+    assert list(result.keys()) == [100]  # (1 + 0) * ITER_AMOUNT
+    assert np.isfinite(result[100]["mkpe"])
