@@ -27,9 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 8.0
-NUM_VIEWS = 31
+NUM_VIEWS = int(os.environ.get("BENCH_VIEWS", "31"))
 NUM_JOINTS = 19
 IMG = 256
+MODEL = os.environ.get("BENCH_MODEL", "POSE_RESNET")  # or HRNET
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 POOL_FOR_CORESET = 2048
@@ -44,6 +45,7 @@ def main():
 
     cfg = get_default_configs()
     cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.POSE_ESTIMATOR.TYPE = MODEL
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     engine = Engine(cfg)

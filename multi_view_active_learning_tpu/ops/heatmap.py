@@ -102,6 +102,34 @@ def decode_keypoints(
     return jnp.where(valid[..., None], coords, jnp.zeros_like(coords))
 
 
+def decode_keypoints_bbox(
+    heatmaps: jnp.ndarray,
+    bbox: jnp.ndarray,
+    use_soft_argmax: bool = False,
+) -> jnp.ndarray:
+    """Decode heatmap coordinates scaled by the (square) bounding box.
+
+    heatmaps: [..., K, h, w]; bbox: [..., 4] (left, top, right, bottom) ->
+    coords [..., K, 2] in bbox-relative pixels.
+
+    Reference contract: utils/evaluation.py:33-58 `get_pred_coordinates`
+    (with its x/y bbox-dimension mix-up fixed — the reference acknowledges
+    it only works for square boxes, evaluation.py:40; we scale x by width
+    and y by height so non-square boxes also decode correctly).
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    if use_soft_argmax:
+        coords = soft_argmax(heatmaps, stride=1.0)
+    else:
+        coords, _ = decode_argmax(heatmaps, stride=1.0)
+    width = (bbox[..., 2] - bbox[..., 0])[..., None, None]
+    height = (bbox[..., 3] - bbox[..., 1])[..., None, None]
+    scale = jnp.concatenate(
+        [width / float(w), height / float(h)], axis=-1
+    )  # [..., 1, 2]
+    return coords * scale
+
+
 def heatmap_mse_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,

@@ -73,3 +73,24 @@ def test_heatmap_mse_loss_normalization_and_mask():
         heatmap.heatmap_mse_loss(jnp.array(pred), jnp.array(target), jnp.array(mask))
     )
     assert abs(loss - (k - 1)) < 1e-6
+
+
+def test_decode_keypoints_bbox():
+    import jax.numpy as jnp
+
+    hm = np.zeros((2, 3, 8, 8), np.float32)
+    hm[0, 0, 4, 2] = 1.0  # y=4, x=2 on an 8x8 grid
+    bbox = np.array([[10.0, 20.0, 90.0, 100.0], [0.0, 0.0, 16.0, 16.0]],
+                    np.float32)
+    coords = np.asarray(
+        heatmap.decode_keypoints_bbox(jnp.array(hm), jnp.array(bbox))
+    )
+    # box 0 is 80x80 -> scale 10: x=20, y=40
+    np.testing.assert_allclose(coords[0, 0], [20.0, 40.0])
+    # box 1 is 16x16 -> scale 2
+    hm2 = np.zeros((1, 1, 8, 8), np.float32)
+    hm2[0, 0, 1, 3] = 1.0
+    coords2 = np.asarray(
+        heatmap.decode_keypoints_bbox(jnp.array(hm2), jnp.array(bbox[1:2]))
+    )
+    np.testing.assert_allclose(coords2[0, 0], [6.0, 2.0])

@@ -1,0 +1,165 @@
+"""Additional experiment types end-to-end: CLUSTER, CORESET selection,
+MPE scoring, SAL with KMeans cluster-balanced pseudo-labeling, and an
+InterHand2.6M-schema run (42 joints, per-joint validity)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.data import build_dataset
+from multi_view_active_learning_tpu.data.ih26m import InterHand26MDataset
+from multi_view_active_learning_tpu.data.synthetic import (
+    generate_ih26m_tree,
+    generate_panoptic_tree,
+)
+from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+NUM_JOINTS, NUM_CAMS = 19, 4
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_extra")
+    return generate_panoptic_tree(
+        str(root), num_train_frames=8, num_val_frames=2,
+        num_joints=NUM_JOINTS, num_cameras=NUM_CAMS,
+    )
+
+
+def _tiny_cfg(tree, log_dir):
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = tree
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.DATA.INPUT_WIDTH = 64
+    cfg.DATA.INPUT_HEIGHT = 64
+    cfg.DATA.EPOCH_SIZE = 4
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.VAL_SIZE = 2
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 4
+    cfg.TRAIN.LOG_EVERY_ITER = 4
+    cfg.AL.INFERENCE.BATCH_SIZE = 2
+    cfg.LOG_DIR = log_dir
+    cfg.EXPR_NAME = "TESTX"
+    return cfg
+
+
+def test_cluster_pose_and_loss(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "CLUSTER"
+    # POSE clustering: dump per-frame 3D keypoints.
+    cfg.AL.CLUSTER.TYPE = "POSE"
+    cfg.AL.CLUSTER.SAVE_PATH = os.path.join(str(tmp_path), "pose_clusters.json")
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.cluster(strategy.new_state(), build_dataset(cfg, "train"))
+    clusters = json.load(open(cfg.AL.CLUSTER.SAVE_PATH))
+    assert len(clusters) == 8
+    first = np.asarray(next(iter(clusters.values())))
+    assert first.shape == (NUM_JOINTS, 3)
+
+    # LOSS clustering: per-frame heatmap MSE.
+    cfg2 = _tiny_cfg(tree, str(tmp_path))
+    cfg2.EXPR_TYPE = "CLUSTER"
+    cfg2.AL.CLUSTER.TYPE = "LOSS"
+    cfg2.AL.CLUSTER.SAVE_PATH = os.path.join(str(tmp_path), "loss_clusters.json")
+    s2 = ActiveLearningStrategy(cfg2)
+    s2.cluster(s2.new_state(), build_dataset(cfg2, "train"))
+    losses = json.load(open(cfg2.AL.CLUSTER.SAVE_PATH))
+    assert len(losses) == 8
+    assert all(np.isfinite(v) and v > 0 for v in losses.values())
+
+
+def test_coreset_strategy_selection(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "CORESET"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    state = strategy.new_state()
+    # iteration 0 random seeding
+    strategy.sample_next_batch(pool, 2, 0, state, 0)
+    assert len(pool.labeled_data) == 2
+    # iteration 1 uses coreset over predicted poses
+    strategy.sample_next_batch(pool, 2, 0, state, 1)
+    assert len(pool.labeled_data) == 4
+    sampled = json.load(open(strategy._expr_dir("SAMPLED-GUID-ITER-1")))
+    assert len(sampled) == 2
+
+
+def test_mpe_strategy_scoring(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "MPE"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    pool.resample_unlabeled_data()
+    sal_dict = strategy._compute_sal_dict(pool, strategy.new_state())
+    assert len(sal_dict["al_metric"]) == 8
+    vals = np.asarray(list(sal_dict["al_metric"].values()))
+    assert np.isfinite(vals).all() and (vals >= 0).all()
+
+
+def test_sal_cluster_balanced_pseudo_labeling(tree, tmp_path):
+    # Build a cluster file from GT poses, then run the KMeans-quota branch.
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.SAL.INLIER_THRESHOLD = 0
+    cfg.SAL.NUM_CLUSTERS = 2
+    pool = build_dataset(cfg, "train")
+    clusters = {
+        f["guid"]: np.asarray(f["3d_keypoints"]).tolist()
+        for f in pool.unlabeled_data.values()
+    }
+    cluster_path = os.path.join(str(tmp_path), "clusters.json")
+    json.dump(clusters, open(cluster_path, "w"))
+    cfg.SAL.CLUSTER_FILE_PATH = cluster_path
+
+    strategy = ActiveLearningStrategy(cfg)
+    assert strategy.kmeans is not None
+    state = strategy.new_state()
+    pool2 = build_dataset(cfg, "train")
+    al_guids, sal_guids, sal_dict = strategy._sal_pseudo_labeling(
+        pool2, 2, 2, state, iteration=1
+    )
+    assert len(al_guids) == 2
+    assert 0 <= len(sal_guids) <= 2
+    assert pool2.pseudo_label_guids == sal_guids
+    for g in sal_guids:
+        assert g not in al_guids
+
+
+def test_ih26m_sal_round(tmp_path):
+    root = generate_ih26m_tree(
+        os.path.join(str(tmp_path), "ih"), num_frames=6, num_joints=42,
+        num_cameras=4,
+    )
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "ih26m"
+    cfg.DATA.NUM_JOINTS = 42
+    cfg.DATA.INPUT_WIDTH = 64
+    cfg.DATA.INPUT_HEIGHT = 64
+    cfg.DATA.IH26M.HOME = root
+    cfg.DATA.IH26M.CAPTURE_RANGE = [0, 1]
+    cfg.DATA.IH26M.NUM_VIEW_PER_FRAME = 4
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.AL.INFERENCE.BATCH_SIZE = 2
+    cfg.LOG_DIR = str(tmp_path)
+    cfg.EXPR_NAME = "IH"
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    strategy = ActiveLearningStrategy(cfg)
+    assert strategy.joint_root_index == 21
+    pool = build_dataset(cfg, "train")
+    assert len(pool.unlabeled_data) == 6
+    pool.resample_unlabeled_data()
+    sal_dict = strategy._compute_sal_dict(pool, strategy.new_state())
+    assert len(sal_dict["al_metric"]) == 6
+    kp = np.asarray(next(iter(sal_dict["pred_3d_keypoints"].values())))
+    assert kp.shape == (42, 3)
