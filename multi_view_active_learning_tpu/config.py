@@ -192,6 +192,12 @@ class DataConfig:
     # decode for large frames (throughput mode, not bit-exact).
     USE_NATIVE_LOADER: bool = True
     NATIVE_FAST_SCALE: bool = False
+    # Decoded-view cache entries (0 disables).  Training epochs re-iterate
+    # the same small labeled pool (resample_frames duplicates it to
+    # EPOCH_SIZE, dataset.py:76-96 in the reference, which re-decodes every
+    # copy); caching prepared views removes that host bottleneck.  One
+    # 256x256 view is ~190 KB -> 10000 entries ~ 1.9 GB.
+    VIEW_CACHE_SIZE: int = 10000
     # Augmentation (reference: dataset/config.py:43-47).
     NUM_AUG: int = 0
     AUG_MAGNITUDE: int = 0

@@ -33,6 +33,48 @@ from ..ops import geometry, heatmap
 from . import augmentation as aug
 
 
+class _ViewCache:
+    """LRU of decoded+cropped+resized views keyed by (path, bbox, size).
+
+    The reference re-decodes every view on every epoch although
+    resample_frames duplicates the same labeled frames EPOCH_SIZE/len times
+    (reference: dataset/dataset.py:76-96, 158-214); with a single-digit-GB
+    cache the host data path drops out of the training loop entirely after
+    the first epoch.  Images are content-static, so no invalidation.
+    """
+
+    def __init__(self):
+        self._store: "OrderedDict" = __import__("collections").OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            if key in self._store:
+                self._store.move_to_end(key)
+                self.hits += 1
+                return self._store[key]
+            self.misses += 1
+            return None
+
+    def put(self, key, value, max_entries: int):
+        if max_entries <= 0:
+            return
+        with self._lock:
+            self._store[key] = value
+            self._store.move_to_end(key)
+            while len(self._store) > max_entries:
+                self._store.popitem(last=False)
+
+    def clear(self):
+        with self._lock:
+            self._store.clear()
+
+
+VIEW_CACHE = _ViewCache()
+
+
 def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.ndarray]:
     """Prepare every view of one frame on the host.
 
@@ -65,8 +107,16 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             view["camera"]["dist"],
             name=camera_name,
         )
+        cache_key = (
+            view["path"], tuple(bbox), data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
+        )
+        cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
+        cached = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
         image = None
-        if use_native:
+        if cached is not None:
+            image = cached
+            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
+        elif use_native:
             with open(view["path"], "rb") as f:
                 raw = f.read()
             # Native path fuses decode + crop + Lanczos + BGR flip.  The
@@ -89,6 +139,8 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
                 resample=Image.LANCZOS,
             )
             image = np.asarray(image, dtype=np.uint8)
+        if cached is None and cache_size > 0:
+            VIEW_CACHE.put(cache_key, image, cache_size)
         cam.update_after_crop(bbox)
         kps_after_crop.append(cam.project(kp3d).astype(np.float32))
         cam.update_after_resize(

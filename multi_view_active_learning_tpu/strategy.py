@@ -523,6 +523,36 @@ class ActiveLearningStrategy:
             results["pckh_pcks"] = pckh_pcks
         return results
 
+    def evaluate_2d_pckh(self, state, val_loader) -> Tuple[list, list]:
+        """2D PCKh over a validation loader.
+
+        The reference version (strategy.py:548-582) is dead code with a
+        hardcoded 19-joint reshape; this one works for any joint count using
+        the bbox-scaled decode and the crop-space GT ('2d_after_crop')."""
+        from .ops import heatmap as heatmap_ops
+
+        preds, gts = [], []
+        for batch in val_loader:
+            images, _ = self._device_batch(
+                batch, train=False, key=jax.random.PRNGKey(0)
+            )
+            heatmaps = self.engine.forward(state.params, state.batch_stats, images)
+            hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
+            coords = heatmap_ops.decode_keypoints_bbox(
+                hm_vk, jnp.asarray(batch["square_box"])  # [B, V, 4]
+            )
+            mask = np.asarray(batch["frame_valid"])
+            kp = np.asarray(coords)[mask].reshape(-1, self.num_joints, 2)
+            gt = np.asarray(batch["2d_after_crop"])[mask].reshape(
+                -1, self.num_joints, 2
+            )
+            preds.append(kp)
+            gts.append(gt)
+        pred = np.concatenate(preds)
+        gt = np.concatenate(gts)
+        thresholds, pcks = evaluation.compute_pckh_2d_figure(pred, gt)
+        return list(thresholds), pcks
+
     def _prepare_val_dataset_for_eval(self, val_pool) -> FrameLoader:
         """Reference: strategy.py:905-913."""
         val_pool.label_all()

@@ -157,3 +157,32 @@ def test_select_common_cameras_spread():
     picked = select_common_cameras(all_cam, ["0"], 3)
     assert "c0" in picked and "c5" in picked
     assert len(picked) == 3
+
+
+def test_view_cache_hits_across_epochs(cfg):
+    from multi_view_active_learning_tpu.data import pipeline
+
+    pipeline.VIEW_CACHE.clear()
+    pipeline.VIEW_CACHE.hits = pipeline.VIEW_CACHE.misses = 0
+    ds = build_dataset(cfg, "train")
+    frame = next(iter(ds.unlabeled_data.values()))
+    out1 = prepare_views_host(frame, cfg.DATA, gt_stride=4)
+    assert pipeline.VIEW_CACHE.misses == NUM_CAMS
+    out2 = prepare_views_host(frame, cfg.DATA, gt_stride=4)
+    assert pipeline.VIEW_CACHE.hits == NUM_CAMS
+    np.testing.assert_array_equal(out1["images"], out2["images"])
+    np.testing.assert_array_equal(out1["proj_matrices"], out2["proj_matrices"])
+
+
+def test_view_cache_disabled(cfg):
+    from multi_view_active_learning_tpu.data import pipeline
+
+    cfg2 = cfg.clone()
+    cfg2.DATA.VIEW_CACHE_SIZE = 0
+    pipeline.VIEW_CACHE.clear()
+    pipeline.VIEW_CACHE.hits = pipeline.VIEW_CACHE.misses = 0
+    ds = build_dataset(cfg2, "train")
+    frame = next(iter(ds.unlabeled_data.values()))
+    prepare_views_host(frame, cfg2.DATA, gt_stride=4)
+    prepare_views_host(frame, cfg2.DATA, gt_stride=4)
+    assert pipeline.VIEW_CACHE.hits == 0

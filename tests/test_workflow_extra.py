@@ -163,3 +163,15 @@ def test_ih26m_sal_round(tmp_path):
     assert len(sal_dict["al_metric"]) == 6
     kp = np.asarray(next(iter(sal_dict["pred_3d_keypoints"].values())))
     assert kp.shape == (42, 3)
+
+
+def test_evaluate_2d_pckh(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    strategy = ActiveLearningStrategy(cfg)
+    val = build_dataset(cfg, "val")
+    loader = strategy._prepare_val_dataset_for_eval(val)
+    thresholds, pcks = strategy.evaluate_2d_pckh(strategy.new_state(), loader)
+    assert len(thresholds) == 10
+    assert len(pcks) == 10 and len(pcks[0]) == NUM_JOINTS
+    flat = np.asarray(pcks)
+    assert ((flat >= 0) & (flat <= 1)).all()
