@@ -278,23 +278,40 @@ class FrameLoader:
             return
         q: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: List[BaseException] = []
+
+        def put(item) -> bool:
+            # Bounded put that gives up when the consumer abandoned the
+            # iterator (e.g. the train loop `break`s mid-epoch) so the
+            # prefetch thread never leaks blocked on a full queue.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except Exception:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as e:  # surface loader errors in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()

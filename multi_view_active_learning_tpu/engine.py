@@ -120,13 +120,21 @@ class Engine:
             & frame_valid[:, None, None]
         ).reshape(B * V, 1, 1, -1)
 
-        def loss_fn(params):
-            out, mutated = self.model.apply(
+        def forward_fn(params, images_in):
+            return self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                flat_images,
+                images_in,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if self.cfg.TPU.REMAT:
+            # Rematerialize backbone activations in the backward pass —
+            # trades FLOPs for HBM so larger B*V crop batches fit.
+            forward_fn = jax.checkpoint(forward_fn)
+
+        def loss_fn(params):
+            out, mutated = forward_fn(params, flat_images)
             loss = heatmap_ops.heatmap_mse_loss(out, flat_gt, mask)
             return loss, mutated["batch_stats"]
 

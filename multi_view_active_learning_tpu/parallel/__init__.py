@@ -26,6 +26,25 @@ DATA_AXIS = "data"
 VIEW_AXIS = "view"
 
 
+def initialize_distributed() -> bool:
+    """Multi-host bring-up: call once at program start on multi-slice /
+    multi-host deployments.  jax.distributed.initialize discovers the
+    coordinator from the TPU environment; single-host runs (and the CPU
+    test mesh) skip it.  Replaces the reference's file-based NCCL
+    rendezvous (reference: workflow.py:228-230) — no rendezvous files, no
+    per-experiment tempfile plumbing."""
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(
     data_axis: int = -1, view_axis: int = 1, devices=None
 ) -> Mesh:

@@ -26,6 +26,7 @@ import tempfile
 from datetime import datetime
 from typing import Dict, List, NamedTuple
 
+import jax
 import numpy as np
 
 from . import config as config_lib
@@ -138,6 +139,12 @@ def run_al_iteration(cfg, mesh, iteration: int) -> None:
 def run_experiment(cfg) -> Dict:
     """Dispatch on EXPR_TYPE; returns the eval dict for summary printing."""
     logger = get_logger("workflow")
+    from .parallel import initialize_distributed
+
+    if initialize_distributed():
+        logger.info(
+            "Distributed: process %d/%d" % (jax.process_index(), jax.process_count())
+        )
     mesh = mesh_from_config(cfg)
     logger.info("Mesh: %s" % (mesh,))
     result: Dict = {}

@@ -186,3 +186,20 @@ def test_view_cache_disabled(cfg):
     prepare_views_host(frame, cfg2.DATA, gt_stride=4)
     prepare_views_host(frame, cfg2.DATA, gt_stride=4)
     assert pipeline.VIEW_CACHE.hits == 0
+
+
+def test_frame_loader_prefetch_thread_stops_on_break(cfg):
+    import threading
+    import time as _time
+
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=32, rng=np.random.default_rng(0))
+    before = threading.active_count()
+    loader = FrameLoader(ds, cfg.DATA, 4, batch_size=1, prefetch=1)
+    for batch in loader:
+        break  # abandon mid-epoch
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before

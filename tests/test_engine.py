@@ -95,3 +95,23 @@ def test_loss_step_per_frame():
     )
     assert losses.shape == (2,)
     assert (losses > 0).all()
+
+
+def test_remat_train_step_matches_no_remat():
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    engine_a = Engine(cfg)
+    cfg_r = _cfg()
+    cfg_r.TPU.REMAT = True
+    engine_b = Engine(cfg_r)
+    state_a = engine_a.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    state_b = engine_b.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    batch = _batch()
+    sa, ma = engine_a.train_step(state_a, *batch)
+    sb, mb = engine_b.train_step(state_b, *batch)
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
+    for x, y in zip(
+        jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sb.params)
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
