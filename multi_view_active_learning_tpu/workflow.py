@@ -105,6 +105,13 @@ def run_al_iteration(cfg, mesh, iteration: int) -> None:
     it_cfg = cfg.clone()
     it_cfg.AL.CURRENT_ITER = iteration
     strategy = ActiveLearningStrategy(it_cfg, mesh)
+    if jax.process_index() == 0:
+        # Reattach the experiment-level AL writer (sal/* histograms,
+        # reference strategy.py:83-109) — this strategy instance is fresh
+        # per iteration, mirroring the reference's fresh processes.
+        from .utils.metrics_writer import MetricsWriter
+
+        strategy.al_writer = MetricsWriter(strategy._expr_dir("AL"))
     state = strategy.new_state(salt=iteration)
     if iteration == 0:
         amount = cfg.AL.INITIAL_AMOUNT

@@ -153,3 +153,28 @@ def test_al_eval_over_iterations(tree, tmp_path):
     result = workflow.run_experiment_eval(eval_cfg, None)
     assert list(result.keys()) == [100]  # (1 + 0) * ITER_AMOUNT
     assert np.isfinite(result[100]["mkpe"])
+
+
+def test_sal_histograms_written_per_iteration(tree, tmp_path):
+    """The per-iteration AL writer must receive sal/* histograms
+    (reference: strategy.py:83-109)."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.ITERATIONS = 2
+    cfg.AL.INITIAL_AMOUNT = 2
+    cfg.AL.ITER_AMOUNT = 2
+    cfg.SAL.NUM_FRAMES = [0, 2]
+    cfg.SAL.INLIER_THRESHOLD = 0
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.prepare_al_experiments()
+    for iteration in range(2):
+        workflow.run_al_iteration(cfg, None, iteration)
+    records = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path), "TEST", "AL", "metrics.jsonl"))
+    ]
+    tags = {r["tag"] for r in records}
+    assert "sal/al_metric" in tags
+    assert "sal/sal_metric" in tags
+    assert "sal/al_num_frames" in tags
