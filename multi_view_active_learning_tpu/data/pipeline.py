@@ -20,9 +20,10 @@ Batches are fixed-shape: the final partial batch is padded and flagged via
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 from functools import partial
 from queue import Queue
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,7 @@ class _ViewCache:
     """
 
     def __init__(self):
-        self._store: "OrderedDict" = __import__("collections").OrderedDict()
+        self._store: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0

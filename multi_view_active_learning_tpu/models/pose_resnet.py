@@ -14,7 +14,7 @@ with float32 params and BN statistics.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ pure-XLA fallback and the semantics oracle.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp

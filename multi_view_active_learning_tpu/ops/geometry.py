@@ -12,7 +12,7 @@ functions that vmap/jit cleanly.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data import FrameLoader, build_dataset
+from .data import FrameLoader
 from .data.pipeline import device_prepare
 from .engine import Engine, TrainState
 from .ops import coreset as coreset_ops

@@ -14,9 +14,6 @@ from __future__ import annotations
 import os
 import re
 import shutil
-from typing import Any, Optional
-
-import jax
 import orbax.checkpoint as ocp
 
 from . import get_logger
