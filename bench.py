@@ -52,8 +52,10 @@ def main():
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
 
     rng = np.random.default_rng(0)
+    # Raw uint8 frames, like the real pipeline ships them; normalization is
+    # fused into the scoring executable.
     images = jnp.asarray(
-        rng.normal(size=(BATCH, NUM_VIEWS, IMG, IMG, 3)).astype(np.float32)
+        rng.integers(0, 256, size=(BATCH, NUM_VIEWS, IMG, IMG, 3)).astype(np.uint8)
     )
     proj = jnp.asarray(
         np.broadcast_to(
@@ -76,19 +78,19 @@ def main():
     # per-executable execution-plan setup (hundreds of ms on the tunneled
     # runtime) is excluded from steady-state timing.  Host fetches force
     # real execution — block_until_ready is unreliable through the tunnel.
-    carry = jnp.zeros((), images.dtype)
+    carry = jnp.zeros((), jnp.uint8)
     for _ in range(3):
         out = score(images + carry)
-        carry = out["al_metric"][0] * 0.0
+        carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
     float(np.asarray(carry))
 
     # Chain each step on the previous step's output so the final fetch
     # transitively forces the whole timed sequence to execute.
     t0 = time.perf_counter()
-    carry = jnp.zeros((), images.dtype)
+    carry = jnp.zeros((), jnp.uint8)
     for _ in range(STEPS):
         out = score(images + carry)
-        carry = out["al_metric"][0] * 0.0
+        carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
     float(np.asarray(carry))
     scoring_time = time.perf_counter() - t0
     frames = BATCH * STEPS

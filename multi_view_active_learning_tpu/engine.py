@@ -168,9 +168,27 @@ class Engine:
 
     @partial(jax.jit, static_argnames=("self",))
     def forward(self, params, batch_stats, images) -> jnp.ndarray:
-        """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K]."""
+        """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K].
+
+        uint8 inputs are raw pixels: ImageNet normalization happens here in
+        the compute dtype, fused into the same executable as the convs (no
+        separately materialized float32 image array — a 4x HBM/transfer
+        saving for scoring and eval, which never need GT heatmaps or
+        augmentation).  float inputs are assumed pre-normalized
+        (the training path, where RandAugment runs first)."""
         B, V = images.shape[0], images.shape[1]
         flat = images.reshape((B * V,) + images.shape[2:])
+        if flat.dtype == jnp.uint8:
+            from .ops import geometry
+
+            dtype = (
+                jnp.bfloat16
+                if self.cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+                else jnp.float32
+            )
+            mean = jnp.asarray(geometry.IMAGENET_MEAN, dtype)
+            std = jnp.asarray(geometry.IMAGENET_STD, dtype)
+            flat = (flat.astype(dtype) / 255.0 - mean) / std
         out = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, flat, train=False
         )

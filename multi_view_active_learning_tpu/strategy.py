@@ -312,8 +312,10 @@ class ActiveLearningStrategy:
         t0 = time.time()
         n_frames = 0
         for batch in loader:
-            key, bkey, skey = jax.random.split(key, 3)
-            images, _ = self._device_batch(batch, train=False, key=bkey)
+            key, skey = jax.random.split(key)
+            # Raw uint8 frames: normalization is fused into the scoring
+            # executable (engine.forward); no GT heatmaps are rendered.
+            images = self._put(batch["images"], view_axis=True)
             out = self.engine.score_step(
                 state.params,
                 state.batch_stats,
@@ -495,9 +497,7 @@ class ActiveLearningStrategy:
         preds, gts, valids = [], [], []
         pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
         for batch in val_loader:
-            images, _ = self._device_batch(
-                batch, train=False, key=jax.random.PRNGKey(0)
-            )
+            images = self._put(batch["images"], view_axis=True)
             out = self.engine.eval_step(
                 state.params,
                 state.batch_stats,
@@ -533,9 +533,7 @@ class ActiveLearningStrategy:
 
         preds, gts = [], []
         for batch in val_loader:
-            images, _ = self._device_batch(
-                batch, train=False, key=jax.random.PRNGKey(0)
-            )
+            images = self._put(batch["images"], view_axis=True)
             heatmaps = self.engine.forward(state.params, state.batch_stats, images)
             hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
             coords = heatmap_ops.decode_keypoints_bbox(
