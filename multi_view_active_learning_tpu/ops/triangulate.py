@@ -11,8 +11,9 @@ TPU-native redesign (no dynamic shapes anywhere):
     (all C(V, 2) combinations by default; optionally a seeded subset to
     mirror the reference's shuffle-truncate at utils/triangulation.py:279-282).
   * Every pair is triangulated at once: DLT row vectors are built for all
-    views in one einsum, pair systems are 4x4, and the null vector comes from
-    eigh on A^T A (or SVD for the reference-parity path).
+    views in one einsum, pair systems are 4x4, and the null vector comes
+    from closed-form adjugate inverse iteration on A^T A (method="power",
+    the default — see _null_vector_power), with eigh/SVD parity paths.
   * Inlier sets are boolean masks [P, V]; "largest inlier set wins, first on
     ties" is an argmax — identical selection semantics to the reference's
     strictly-greater update over combination order
@@ -23,9 +24,11 @@ TPU-native redesign (no dynamic shapes anywhere):
   * vmap over joints and frames; shard over the ('data',) mesh axis upstream.
 
 Everything is float32.  For Panoptic-scale projection matrices (entries up
-to ~1e5) the normal-equations path squares the conditioning; the `svd`
-method is the fallback when bit-level agreement with float64 references
-matters (see TPUConfig.DLT_METHOD).
+to ~1e5) the normal-equations paths square the conditioning; measured
+against float64 SVD ground truth the "power" solver is as accurate as
+eigh/svd on realistic rigs (see BENCH_NOTES.md), and `svd` remains the
+fallback when bit-level agreement with float64 references matters
+(see TPUConfig.DLT_METHOD).
 """
 
 from __future__ import annotations
@@ -107,8 +110,11 @@ def _null_vector_power(M: jnp.ndarray) -> jnp.ndarray:
     """
     scale = jnp.maximum(jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True), 1e-30)
     Mn = M / scale
-    # Tiny ridge keeps adj nonzero for rank<=2 degeneracies.
-    Mn = Mn + 1e-20 * jnp.eye(4, dtype=M.dtype)
+    # Ridge keeps adj nonzero for rank<=2 degeneracies (coincident views).
+    # 1e-6 of the normalized scale: resolvable in float32, and for genuine
+    # near-null systems (lambda_min << 1e-6 * lambda_max) it leaves the
+    # dominant adj eigen-gap intact.
+    Mn = Mn + 1e-6 * jnp.eye(4, dtype=M.dtype)
     adj = _adjugate4(Mn)
     v = jnp.full(M.shape[:-2] + (4,), 0.5, M.dtype)
     for _ in range(3):

@@ -157,3 +157,20 @@ def test_reprojection_xe_metric(problem):
     res = _run(heatmaps, proj, use_reprojection_xe=True, sigma=1.0)
     assert res["metric"].shape == (B,)
     assert np.isfinite(np.asarray(res["metric"])).all()
+
+
+def test_power_method_handles_rank_deficient_system():
+    """Coincident views make the normal matrix rank<=2; the adjugate solver
+    must return a finite unit-norm direction, not NaN/zero garbage."""
+    proj = np.tile(
+        np.array([[300.0, 0, 32, 10], [0, 300.0, 32, 10], [0, 0, 1, 300.0]],
+                 np.float32),
+        (4, 1, 1),
+    )  # four identical cameras
+    pts = np.tile(np.array([[40.0, 40.0]], np.float32), (4, 1))
+    got = np.asarray(
+        triangulate.dlt_triangulate(
+            jnp.array(proj), jnp.array(pts), method="power"
+        )
+    )
+    assert np.isfinite(got).all()
