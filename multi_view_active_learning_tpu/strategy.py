@@ -687,6 +687,17 @@ class ActiveLearningStrategy:
                 else:
                     self._logger.warning("GUID log not found: %s" % src)
 
+    def save_init_weights_for_al(self, state) -> str:
+        """Stash the (optionally pretrained-initialized) weights all AL
+        iterations start from (reference: strategy.py:850-866)."""
+        state = self._load_weights(self.al_cfg, state)
+        path = self._expr_dir("INIT-WEIGHT")
+        if _is_main():
+            os.makedirs(self._expr_dir(), exist_ok=True)
+            ckpt.save_checkpoint(path, state)
+            self._logger.info("Initial AL weights saved at %s." % path)
+        return path
+
     def prepare_al_experiments(self):
         """Reference: strategy.py:267-277."""
         os.makedirs(self._expr_dir(), exist_ok=True)

@@ -175,3 +175,14 @@ def test_evaluate_2d_pckh(tree, tmp_path):
     assert len(pcks) == 10 and len(pcks[0]) == NUM_JOINTS
     flat = np.asarray(pcks)
     assert ((flat >= 0) & (flat <= 1)).all()
+
+
+def test_save_init_weights_for_al(tree, tmp_path):
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    strategy = ActiveLearningStrategy(cfg)
+    path = strategy.save_init_weights_for_al(strategy.new_state())
+    assert os.path.isdir(path)
+    from multi_view_active_learning_tpu.utils import checkpoint as ckpt_utils
+
+    restored = ckpt_utils.restore_params_only(path, strategy.new_state(salt=9))
+    assert restored is not None
