@@ -186,3 +186,51 @@ def test_save_init_weights_for_al(tree, tmp_path):
 
     restored = ckpt_utils.restore_params_only(path, strategy.new_state(salt=9))
     assert restored is not None
+
+
+def test_previous_al_log_dir_restore(tree, tmp_path):
+    """Elastic recovery: copy checkpoints + guid logs from a previous
+    experiment and resume at START_ITER (reference: strategy.py:338-389,
+    workflow.py:235-244)."""
+    import glob as globlib
+
+    from multi_view_active_learning_tpu import workflow
+
+    # Run a 1-iteration SAL experiment to produce artifacts.
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.ITERATIONS = 1
+    cfg.AL.INITIAL_AMOUNT = 2
+    cfg.SAL.NUM_FRAMES = [0]
+    cfg.SAL.INLIER_THRESHOLD = 0
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.prepare_al_experiments()
+    workflow.run_al_iteration(cfg, None, 0)
+    prev_dir = os.path.join(str(tmp_path), "TESTX")
+
+    # New experiment resuming from the old artifacts at START_ITER=1.
+    cfg2 = _tiny_cfg(tree, str(tmp_path))
+    cfg2.EXPR_TYPE = "SAL"
+    cfg2.EXPR_NAME = "RESUMED"
+    cfg2.AL.START_ITER = 1
+    cfg2.AL.PREVIOUS_AL_LOG_DIR = prev_dir
+    s2 = ActiveLearningStrategy(cfg2)
+    s2.prepare_al_experiments()
+    s2._copy_previous_checkpoints()
+    assert os.path.isdir(
+        os.path.join(str(tmp_path), "RESUMED", "ITER-0", "checkpoints", "CKPT-FINAL")
+    )
+    assert os.path.isfile(os.path.join(str(tmp_path), "RESUMED", "SAMPLED-GUID-ITER-0"))
+    # Pool replay picks up the copied guid log.
+    pool = build_dataset(cfg2, "train")
+    pool = s2.restore_dataset(pool, 1)
+    assert len(pool.labeled_data) == 2
+    # The copied checkpoint restores into a fresh state.
+    from multi_view_active_learning_tpu.utils import checkpoint as ckpt_utils
+
+    restored = ckpt_utils.restore_params_only(
+        os.path.join(str(tmp_path), "RESUMED", "ITER-0", "checkpoints", "CKPT-FINAL"),
+        s2.new_state(),
+    )
+    assert restored is not None
