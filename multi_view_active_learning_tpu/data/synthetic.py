@@ -57,15 +57,26 @@ def _skeleton_walk(rng, num_frames: int, num_joints: int, scale: float):
     return frames
 
 
-def _render_view(kp2d: np.ndarray, rng) -> np.ndarray:
-    """Bright discs at projected joints over a noisy background."""
-    img = (rng.random((FULL_H, FULL_W, 3)) * 40).astype(np.uint8)
+def _render_view(kp2d: np.ndarray, rng, cam_index: int = 0) -> np.ndarray:
+    """Bright discs at projected joints over a static per-camera background.
+
+    The background is deterministic per camera (a seeded texture), NOT
+    per-frame noise: iid per-frame backgrounds invite shortcut memorization
+    — a model can key heatmaps off the unique noise pattern of each training
+    frame and never learn the discs, making validation metrics on the
+    synthetic set meaningless.
+    """
+    bg_rng = np.random.default_rng(1000 + cam_index)
+    base = bg_rng.integers(10, 60, size=(8, 8, 3)).astype(np.uint8)
+    img = np.asarray(
+        Image.fromarray(base).resize((FULL_W, FULL_H), Image.BILINEAR)
+    ).copy()
     ys, xs = np.mgrid[0:FULL_H, 0:FULL_W]
     for k, (x, y) in enumerate(kp2d):
         if not (0 <= x < FULL_W and 0 <= y < FULL_H):
             continue
         d2 = (xs - x) ** 2 + (ys - y) ** 2
-        mask = d2 < 9.0
+        mask = d2 < 16.0
         color = np.array(
             [80 + (k * 37) % 175, 80 + (k * 73) % 175, 80 + (k * 101) % 175],
             np.uint8,
@@ -136,7 +147,7 @@ def generate_panoptic_tree(
                 ]
                 img_dir = os.path.join(root, pose_name, "hdImgs", cam_name)
                 os.makedirs(img_dir, exist_ok=True)
-                img = _render_view(kp2d, rng)
+                img = _render_view(kp2d, rng, cam_index=cam_names.index(cam_name))
                 Image.fromarray(img).save(
                     os.path.join(img_dir, "%s_%08d.jpg" % (cam_name, frame_id)),
                     quality=image_quality,
@@ -198,7 +209,9 @@ def generate_ih26m_tree(
                 file_name = "img_%d_%s.jpg" % (i, name)
                 img_path = os.path.join(root, "images", split_name, file_name)
                 os.makedirs(os.path.dirname(img_path), exist_ok=True)
-                Image.fromarray(_render_view(kp2d, rng)).save(img_path, quality=90)
+                Image.fromarray(
+                    _render_view(kp2d, rng, cam_index=cam_names.index(name))
+                ).save(img_path, quality=90)
                 images.append(
                     {
                         "capture": 0,
