@@ -311,6 +311,7 @@ class ActiveLearningStrategy:
         )
         t0 = time.time()
         n_frames = 0
+        pending = []
         for batch in loader:
             key, skey = jax.random.split(key)
             # Raw uint8 frames: normalization is fused into the scoring
@@ -330,9 +331,14 @@ class ActiveLearningStrategy:
                 hp_aggregate=cfg.AL.HP_CONFIG,
                 bsb_aggregate=cfg.AL.BSB_CONFIG,
             )
+            # Keep device references; fetch once after the loop so the host
+            # never stalls the device between batches (outputs are tiny:
+            # O(B*K) floats per batch).
+            pending.append((batch["guid"], batch["frame_valid"], out))
+        for guids, frame_valid, out in pending:
             out = jax.device_get(out)
-            for i, guid in enumerate(batch["guid"]):
-                if not batch["frame_valid"][i]:
+            for i, guid in enumerate(guids):
+                if not frame_valid[i]:
                     continue
                 sal_dict["sal_metric"][guid] = float(out["sal_metric"][i])
                 sal_dict["inlier_count"][guid] = float(out["inlier_count"][i])
