@@ -174,3 +174,31 @@ def test_power_method_handles_rank_deficient_system():
         )
     )
     assert np.isfinite(got).all()
+
+
+def test_fuzz_random_rigs_recover_points():
+    """Property test: across random rigs, view counts, and noise levels the
+    pipeline recovers 3D points to within the decode quantization bound."""
+    from helpers import make_ring_cameras, render_peak_heatmaps
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        V = int(rng.integers(4, 9))
+        K = 6
+        proj = make_ring_cameras(
+            V, radius=float(rng.uniform(250, 400)), jitter=float(rng.uniform(0, 1))
+        )
+        pts3d = rng.normal(scale=25.0, size=(K, 3))
+        kp2d = np.stack(
+            [geometry.project_points_np(proj[v], pts3d) for v in range(V)]
+        )
+        grid = np.clip(np.round(kp2d / STRIDE), 0, HM - 1).astype(int)
+        hm = render_peak_heatmaps(grid, V, K, HM)[None]
+        pairs = triangulate.all_view_pairs(V)
+        res = triangulate.triangulate_frames(
+            jnp.array(hm), jnp.array(proj[None]), jnp.ones((1, K), bool),
+            jnp.array(pairs), stride=STRIDE, method="power",
+        )
+        err = np.linalg.norm(np.asarray(res["keypoints_3d"])[0] - pts3d, axis=-1)
+        assert err.max() < 8.0, (seed, V, err.max())
+        assert np.asarray(res["inlier_count"])[0] >= 2
