@@ -234,3 +234,54 @@ def test_previous_al_log_dir_restore(tree, tmp_path):
         s2.new_state(),
     )
     assert restored is not None
+
+
+def test_hp_and_bsb_strategies_scoring(tree, tmp_path):
+    for strat, agg_field in (("HP", "HP_CONFIG"), ("BSB", "BSB_CONFIG")):
+        cfg = _tiny_cfg(tree, str(tmp_path))
+        cfg.EXPR_TYPE = "AL"
+        cfg.AL.STRATEGY = strat
+        setattr(cfg.AL, agg_field, "STD")
+        strategy = ActiveLearningStrategy(cfg)
+        pool = build_dataset(cfg, "train")
+        pool.resample_unlabeled_data()
+        sal_dict = strategy._compute_sal_dict(pool, strategy.new_state())
+        vals = np.asarray(list(sal_dict["al_metric"].values()))
+        assert len(vals) == 8 and np.isfinite(vals).all(), strat
+
+
+def test_random_strategy_within_sal_scores_pool(tree, tmp_path):
+    """SAL + RANDOM still runs inference (unlike AL + RANDOM which
+    shortcuts, reference strategy.py:918-923)."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "RANDOM"
+    cfg.SAL.INLIER_THRESHOLD = 0
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    al_guids, sal_guids, sal_dict = strategy._sal_pseudo_labeling(
+        pool, 2, 2, strategy.new_state(), iteration=1
+    )
+    assert len(sal_dict["al_metric"]) == 8  # inference DID run
+    vals = np.asarray(list(sal_dict["al_metric"].values()))
+    assert ((vals >= 0) & (vals <= 1)).all()  # uniform randoms
+    assert len(al_guids) == 2
+
+
+def test_guid_format_matches_reference(cfg=None):
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.data.synthetic import generate_panoptic_tree
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        generate_panoptic_tree(td, num_train_frames=2, num_val_frames=2)
+        c = get_default_configs()
+        c.DATA.TYPE = "synthetic"
+        c.DATA.SYNTHETIC_ROOT = td
+        pool = build_dataset(c, "train")
+        guid = next(iter(pool.unlabeled_data))
+        # reference format: f"{pose[:6]}{pose[-1]}-{frame_id}"
+        # (panoptic_dataset.py:67) for pose "171026_pose1"
+        assert guid == "1710261-0"
+        frame = pool.unlabeled_data[guid]
+        assert frame["pose"] == 1710261
