@@ -133,9 +133,21 @@ class ActiveLearningStrategy:
             const_magnitude=d.USE_CONST_AUG_MAGNITUDE,
         )
 
+    def _maybe_replicate(self, state: TrainState) -> TrainState:
+        """Replicate model/optimizer state over the mesh so it is co-addressable
+        with mesh-sharded batches (fresh inits and orbax restores otherwise
+        land on a single device)."""
+        if self.mesh is None or np.prod(self.mesh.devices.shape) == 1:
+            return state
+        from . import parallel
+
+        return parallel.replicate_tree(self.mesh, state)
+
     def new_state(self, salt: int = 0) -> TrainState:
-        return self.engine.init_state(
-            jax.random.PRNGKey((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
+        return self._maybe_replicate(
+            self.engine.init_state(
+                jax.random.PRNGKey((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
+            )
         )
 
     # ----------------------------------------------------------- AL sampling
@@ -390,7 +402,9 @@ class ActiveLearningStrategy:
         reference: strategy.py:713-745."""
         if cfg.TRAIN.RESTORE_FROM:
             self._logger.info("Loading weights from %s" % cfg.TRAIN.RESTORE_FROM)
-            return ckpt.restore_params_only(cfg.TRAIN.RESTORE_FROM, state)
+            return self._maybe_replicate(
+                ckpt.restore_params_only(cfg.TRAIN.RESTORE_FROM, state)
+            )
         if cfg.TRAIN.INIT_WEIGHT:
             from .models import convert
 
@@ -570,7 +584,9 @@ class ActiveLearningStrategy:
         self._logger.info(
             "AL_iter %s: loading weights from %s" % (iteration_idx, checkpoint_path)
         )
-        state = ckpt.restore_params_only(checkpoint_path, state)
+        state = self._maybe_replicate(
+            ckpt.restore_params_only(checkpoint_path, state)
+        )
         result = self._evaluate_all(iteration_idx, state, val_loader)
         result["pcks"] = [float(np.mean(p)) for p in result["pcks"]]
         if "pckh_pcks" in result:
@@ -624,7 +640,9 @@ class ActiveLearningStrategy:
                 ).tolist()
         elif cfg.AL.CLUSTER.TYPE == "LOSS":
             if cfg.AL.CLUSTER.RESTORE_FROM:
-                state = ckpt.restore_params_only(cfg.AL.CLUSTER.RESTORE_FROM, state)
+                state = self._maybe_replicate(
+                    ckpt.restore_params_only(cfg.AL.CLUSTER.RESTORE_FROM, state)
+                )
             loader = self._get_loader(train_pool, cfg.TRAIN.BATCH_SIZE)
             for batch in loader:
                 images, gt_heat = self._device_batch(

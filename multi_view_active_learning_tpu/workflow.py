@@ -124,7 +124,7 @@ def run_al_iteration(cfg, mesh, iteration: int) -> None:
             "CKPT-FINAL",
         )
         logger.info("Restoring scorer weights from %s" % restore_path)
-        state = ckpt.restore_params_only(restore_path, state)
+        state = strategy._maybe_replicate(ckpt.restore_params_only(restore_path, state))
         amount = cfg.AL.ITER_AMOUNT
     train_pool = build_dataset(it_cfg, "train")
     val_pool = build_dataset(it_cfg, "val")

@@ -178,3 +178,31 @@ def test_sal_histograms_written_per_iteration(tree, tmp_path):
     assert "sal/al_metric" in tags
     assert "sal/sal_metric" in tags
     assert "sal/al_num_frames" in tags
+
+
+def test_sal_loop_on_mesh(tree, tmp_path):
+    """Full SAL iteration with batches sharded over a ('data'=2, 'view'=2)
+    mesh: sharded training steps + sharded pool scoring end to end."""
+    from multi_view_active_learning_tpu import parallel
+
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "SAL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.ITERATIONS = 2
+    cfg.AL.INITIAL_AMOUNT = 2
+    cfg.AL.ITER_AMOUNT = 2
+    cfg.SAL.NUM_FRAMES = [0, 2]
+    cfg.SAL.INLIER_THRESHOLD = 0
+    mesh = parallel.make_mesh(2, 2, devices=__import__("jax").devices()[:4])
+    strategy = ActiveLearningStrategy(cfg, mesh)
+    strategy.prepare_al_experiments()
+    for iteration in range(2):
+        workflow.run_al_iteration(cfg, mesh, iteration)
+    expr = os.path.join(str(tmp_path), "TEST")
+    sal_dict = json.load(open(os.path.join(expr, "SAL-DICT-ITER-1")))
+    assert len(sal_dict["al_metric"]) == 6
+    vals = np.asarray(list(sal_dict["al_metric"].values()))
+    assert np.isfinite(vals).all()
+    assert os.path.isdir(
+        os.path.join(expr, "ITER-1", "checkpoints", "CKPT-FINAL")
+    )
