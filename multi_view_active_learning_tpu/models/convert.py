@@ -215,6 +215,66 @@ def _merge_into(dst: Dict, src: Dict, prefix="") -> int:
     return n
 
 
+def _flax_to_torch_name(path: Tuple[str, ...], leaf: str, model_type: str) -> str:
+    """Inverse of the torch->flax module mapping for one parameter."""
+    mapper = _MAPPERS[model_type]
+    # Invert by searching candidate torch names is unnecessary: the flax
+    # names were derived mechanically, so reverse the string transforms.
+    mod = "/".join(path)
+    name = None
+    if model_type == "POSE_RESNET":
+        m = re.fullmatch(r"layer(\d+)_(\d+)/(conv\d|bn\d)", mod)
+        if m:
+            name = "layer%s.%s.%s" % m.groups()
+        m = re.fullmatch(r"layer(\d+)_(\d+)/downsample_(conv|bn)", mod)
+        if m:
+            idx = "0" if m.group(3) == "conv" else "1"
+            name = "layer%s.%s.downsample.%s" % (m.group(1), m.group(2), idx)
+        m = re.fullmatch(r"deconv(\d)", mod)
+        if m:
+            name = "deconv_layers.%d" % (int(m.group(1)) * 3)
+        m = re.fullmatch(r"deconv_bn(\d)", mod)
+        if m:
+            name = "deconv_layers.%d" % (int(m.group(1)) * 3 + 1)
+        if mod in ("conv1", "bn1", "final_layer"):
+            name = mod
+    if name is None:
+        raise KeyError("Cannot invert flax path %s for %s" % (mod, model_type))
+    # sanity: the forward mapping must agree
+    assert mapper(name) == path, (name, path)
+    suffix = {
+        "kernel": "weight", "scale": "weight", "bias": "bias",
+        "mean": "running_mean", "var": "running_var",
+    }[leaf]
+    return "%s.%s" % (name, suffix)
+
+
+def flax_to_torch_state_dict(params, batch_stats, model_type: str) -> Dict:
+    """Export flax (params, batch_stats) to a torch-style state_dict of
+    numpy arrays (PoseResNet only for now) — the reverse interop direction,
+    so models trained here can be evaluated in the reference stack."""
+
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path, is_stats):
+        for key, value in tree.items():
+            if isinstance(value, dict):
+                walk(value, path + (key,), is_stats)
+                continue
+            name = _flax_to_torch_name(path, key, model_type)
+            arr = np.asarray(value)
+            if key == "kernel":
+                if name.startswith("deconv_layers"):
+                    arr = deconv_weight_to_torch(arr)
+                else:
+                    arr = conv_weight_to_torch(arr)
+            out[name] = arr
+
+    walk(params, (), False)
+    walk(batch_stats, (), True)
+    return out
+
+
 def load_pretrained(cfg, path: str, state):
     """Reference pretrained-init semantics (strategy.py:722-742):
     PoseResNet drops final_layer.*; HRNet keeps only PRETRAINED_LAYERS

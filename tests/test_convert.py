@@ -178,3 +178,27 @@ def test_load_pretrained_drops_final_layer(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(new_state.params["final_layer"]["kernel"]), old_final
     )
+
+
+def test_flax_to_torch_roundtrip_posresnet():
+    """Export flax params to a torch state_dict and re-import: identical."""
+    model = PoseResNet(num_joints=5, num_layers=18)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = convert.flax_to_torch_state_dict(params, stats, "POSE_RESNET")
+    assert "conv1.weight" in sd and "final_layer.bias" in sd
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+    assert sd["deconv_layers.0.weight"].shape[2:] == (4, 4)
+    back_params, back_stats = convert.torch_state_dict_to_flax(sd, "POSE_RESNET")
+
+    def assert_tree_equal(a, b, path=""):
+        assert set(a.keys()) == set(b.keys()), (path, set(a) ^ set(b))
+        for k in a:
+            if isinstance(a[k], dict):
+                assert_tree_equal(a[k], b[k], path + "/" + k)
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=path + "/" + k)
+
+    assert_tree_equal(params, back_params)
+    assert_tree_equal(stats, back_stats)
