@@ -67,6 +67,9 @@ class ALConfig:
     MPE_CONFIG: str = "AVG"
     BSB_CONFIG: str = "AVG"
     HP_CONFIG: str = "AVG"
+    # Beyond-reference: weight the DLT refit by per-view heatmap peak
+    # confidence (weighted least squares).  Off by default for parity.
+    CONFIDENCE_WEIGHTED_DLT: bool = False
     # RANSAC budget: number of view pairs per joint.  -1 means all C(V,2)
     # pairs (exact, deterministic — the TPU-native default); a positive value
     # subsamples with a seeded permutation like the reference's shuffle

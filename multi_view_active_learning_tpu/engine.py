@@ -233,6 +233,7 @@ class Engine:
             epsilon=self.cfg.AL.RANSAC_EPSILON,
             method=self.cfg.TPU.DLT_METHOD,
             use_pallas=self.use_pallas,
+            confidence_weighted=self.cfg.AL.CONFIDENCE_WEIGHTED_DLT,
         )
         B = images.shape[0]
         if al_strategy == "RANDOM":
@@ -288,6 +289,7 @@ class Engine:
             epsilon=self.cfg.AL.RANSAC_EPSILON,
             method=self.cfg.TPU.DLT_METHOD,
             use_pallas=self.use_pallas,
+            confidence_weighted=self.cfg.AL.CONFIDENCE_WEIGHTED_DLT,
         )
         return {"keypoints_3d": res["keypoints_3d"]}
 

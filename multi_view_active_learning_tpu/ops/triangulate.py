@@ -164,6 +164,7 @@ def _ransac_single_joint(
     pairs: jnp.ndarray,
     epsilon: float,
     method: str,
+    confidence: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape RANSAC for one joint.
 
@@ -173,6 +174,11 @@ def _ransac_single_joint(
     utils/triangulation.py:284-316: sampled views always count as inliers,
     largest set wins, first (in pair order) wins ties, final estimate and
     error are recomputed on the winning set.
+
+    `confidence` [V] (optional, beyond-reference): weighted-least-squares
+    refit — rows scaled by sqrt(conf) so residuals are weighted by each
+    view's heatmap peak confidence.  Inlier selection and the reported
+    error/count are unaffected.
     """
     num_views = proj.shape[0]
     rows = _dlt_rows(proj, points)  # [V, 2, 4]
@@ -197,7 +203,10 @@ def _ransac_single_joint(
     best_mask = inliers[best].astype(jnp.float32)  # [V]
 
     # --- refit stage: masked DLT over the winning inlier set ----------------
-    keypoint_3d = dlt_triangulate(proj, points, weights=best_mask, method=method)
+    refit_w = best_mask
+    if confidence is not None:
+        refit_w = best_mask * jnp.sqrt(jnp.maximum(confidence, 1e-3))
+    keypoint_3d = dlt_triangulate(proj, points, weights=refit_w, method=method)
     final_err = geometry.reprojection_error(
         keypoint_3d[None, :], points[:, None, :], proj
     )[..., 0]  # [V]
@@ -216,6 +225,7 @@ def _ransac_single_joint(
         "epsilon",
         "method",
         "use_pallas",
+        "confidence_weighted",
     ),
 )
 def triangulate_frames(
@@ -230,6 +240,7 @@ def triangulate_frames(
     epsilon: float = 5.0,
     method: str = "eigh",
     use_pallas: bool = False,
+    confidence_weighted: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Triangulate a whole batch of multi-view frames in one compiled call.
 
@@ -264,14 +275,31 @@ def triangulate_frames(
         )  # [B, V, K, 2]
 
     points_kv = jnp.swapaxes(keypoints_2d, 1, 2)  # [B, K, V, 2]
-    per_joint = jax.vmap(  # over batch
-        jax.vmap(  # over joints
-            lambda pts, pr: _ransac_single_joint(pr, pts, pairs, epsilon, method),
-            in_axes=(0, None),
-        ),
-        in_axes=(0, 0),
-    )
-    kp3d, err, inlier = per_joint(points_kv, proj_matrices)
+    if confidence_weighted:
+        # Per-view heatmap peak as WLS weight, normalized per joint so the
+        # weighting is scale-invariant across joints/frames.
+        _, peaks = heatmap.decode_argmax(hm_vk)  # [B, V, K]
+        conf = jnp.swapaxes(peaks, 1, 2)  # [B, K, V]
+        conf = conf / jnp.maximum(jnp.max(conf, axis=-1, keepdims=True), 1e-6)
+        per_joint = jax.vmap(
+            jax.vmap(
+                lambda pts, pr, cf: _ransac_single_joint(
+                    pr, pts, pairs, epsilon, method, confidence=cf
+                ),
+                in_axes=(0, None, 0),
+            ),
+            in_axes=(0, 0, 0),
+        )
+        kp3d, err, inlier = per_joint(points_kv, proj_matrices, conf)
+    else:
+        per_joint = jax.vmap(  # over batch
+            jax.vmap(  # over joints
+                lambda pts, pr: _ransac_single_joint(pr, pts, pairs, epsilon, method),
+                in_axes=(0, None),
+            ),
+            in_axes=(0, 0),
+        )
+        kp3d, err, inlier = per_joint(points_kv, proj_matrices)
     # kp3d: [B, K, 3]; err, inlier: [B, K]
 
     validf = valid_joints.astype(jnp.float32)

@@ -202,3 +202,51 @@ def test_fuzz_random_rigs_recover_points():
         err = np.linalg.norm(np.asarray(res["keypoints_3d"])[0] - pts3d, axis=-1)
         assert err.max() < 8.0, (seed, V, err.max())
         assert np.asarray(res["inlier_count"])[0] >= 2
+
+
+def test_confidence_weighted_dlt_downweights_weak_peaks(problem):
+    """A corrupted view with a LOW peak is downweighted in the WLS refit:
+    with RANSAC effectively disabled (huge epsilon keeps every view an
+    inlier), the weighted estimate beats the unweighted one."""
+    heatmaps, proj, pts3d, _ = problem
+    bad = heatmaps.copy()
+    bad[:, 3] *= 0.0
+    bad[:, 3, 5, 5, :] = 0.05  # wrong location, weak confidence
+    pairs = triangulate.all_view_pairs(V)
+    valid = np.ones((B, K), bool)
+    common = dict(stride=STRIDE, epsilon=1e9, method="power")
+    plain = triangulate.triangulate_frames(
+        jnp.array(bad), jnp.array(proj), jnp.array(valid), jnp.array(pairs),
+        **common,
+    )
+    weighted = triangulate.triangulate_frames(
+        jnp.array(bad), jnp.array(proj), jnp.array(valid), jnp.array(pairs),
+        confidence_weighted=True, **common,
+    )
+    err_plain = np.linalg.norm(
+        np.asarray(plain["keypoints_3d"]) - pts3d, axis=-1
+    ).mean()
+    err_weighted = np.linalg.norm(
+        np.asarray(weighted["keypoints_3d"]) - pts3d, axis=-1
+    ).mean()
+    assert err_weighted < err_plain * 0.8, (err_weighted, err_plain)
+
+
+def test_confidence_weighting_noop_on_clean_peaks(problem):
+    heatmaps, proj, pts3d, _ = problem
+    pairs = triangulate.all_view_pairs(V)
+    valid = np.ones((B, K), bool)
+    r1 = triangulate.triangulate_frames(
+        jnp.array(heatmaps), jnp.array(proj), jnp.array(valid),
+        jnp.array(pairs), stride=STRIDE, method="power",
+    )
+    r2 = triangulate.triangulate_frames(
+        jnp.array(heatmaps), jnp.array(proj), jnp.array(valid),
+        jnp.array(pairs), stride=STRIDE, method="power",
+        confidence_weighted=True,
+    )
+    # equal-confidence peaks -> identical weighting -> same estimates
+    np.testing.assert_allclose(
+        np.asarray(r1["keypoints_3d"]), np.asarray(r2["keypoints_3d"]),
+        atol=1e-3,
+    )
