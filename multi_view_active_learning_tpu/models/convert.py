@@ -238,6 +238,47 @@ def _flax_to_torch_name(path: Tuple[str, ...], leaf: str, model_type: str) -> st
             name = "deconv_layers.%d" % (int(m.group(1)) * 3 + 1)
         if mod in ("conv1", "bn1", "final_layer"):
             name = mod
+    if model_type == "HRNET":
+        if mod in ("conv1", "bn1", "conv2", "bn2", "final_layer"):
+            name = mod
+        m = re.fullmatch(r"layer1_(\d+)/(conv\d|bn\d)", mod)
+        if m:
+            name = "layer1.%s.%s" % m.groups()
+        m = re.fullmatch(r"layer1_(\d+)/downsample_(conv|bn)", mod)
+        if m:
+            idx = "0" if m.group(2) == "conv" else "1"
+            name = "layer1.%s.downsample.%s" % (m.group(1), idx)
+        m = re.fullmatch(r"transition(\d)_(\d+)_(conv|bn)", mod)
+        if m:
+            idx = "0" if m.group(3) == "conv" else "1"
+            name = "transition%s.%s.%s" % (m.group(1), m.group(2), idx)
+        m = re.fullmatch(r"transition(\d)_(\d+)_(conv|bn)(\d+)", mod)
+        if m:
+            idx = "0" if m.group(3) == "conv" else "1"
+            name = "transition%s.%s.%s.%s" % (m.group(1), m.group(2), m.group(4), idx)
+        m = re.fullmatch(r"stage(\d)_module(\d+)/branch(\d+)_block(\d+)/(conv\d|bn\d)", mod)
+        if m:
+            name = "stage%s.%s.branches.%s.%s.%s" % m.groups()
+        m = re.fullmatch(
+            r"stage(\d)_module(\d+)/branch(\d+)_block(\d+)/downsample_(conv|bn)", mod
+        )
+        if m:
+            idx = "0" if m.group(5) == "conv" else "1"
+            name = "stage%s.%s.branches.%s.%s.downsample.%s" % (
+                m.group(1), m.group(2), m.group(3), m.group(4), idx,
+            )
+        m = re.fullmatch(r"stage(\d)_module(\d+)/fuse(\d+)_(\d+)_(conv|bn)", mod)
+        if m:
+            idx = "0" if m.group(5) == "conv" else "1"
+            name = "stage%s.%s.fuse_layers.%s.%s.%s" % (
+                m.group(1), m.group(2), m.group(3), m.group(4), idx,
+            )
+        m = re.fullmatch(r"stage(\d)_module(\d+)/fuse(\d+)_(\d+)_(conv|bn)(\d+)", mod)
+        if m:
+            idx = "0" if m.group(5) == "conv" else "1"
+            name = "stage%s.%s.fuse_layers.%s.%s.%s.%s" % (
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(6), idx,
+            )
     if name is None:
         raise KeyError("Cannot invert flax path %s for %s" % (mod, model_type))
     # sanity: the forward mapping must agree
@@ -251,7 +292,7 @@ def _flax_to_torch_name(path: Tuple[str, ...], leaf: str, model_type: str) -> st
 
 def flax_to_torch_state_dict(params, batch_stats, model_type: str) -> Dict:
     """Export flax (params, batch_stats) to a torch-style state_dict of
-    numpy arrays (PoseResNet only for now) — the reverse interop direction,
+    numpy arrays (PoseResNet and HRNet) — the reverse interop direction,
     so models trained here can be evaluated in the reference stack."""
 
     out: Dict[str, np.ndarray] = {}

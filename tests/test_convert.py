@@ -202,3 +202,26 @@ def test_flax_to_torch_roundtrip_posresnet():
 
     assert_tree_equal(params, back_params)
     assert_tree_equal(stats, back_stats)
+
+
+def test_flax_to_torch_roundtrip_hrnet():
+    model = PoseHighResolutionNet(num_joints=3)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = convert.flax_to_torch_state_dict(params, stats, "HRNET")
+    assert "stage4.0.fuse_layers.0.3.weight" not in sd  # fuse convs end in .0
+    assert "stage2.0.branches.1.3.conv2.weight" in sd
+    assert "transition1.1.0.0.weight" in sd
+    back_params, back_stats = convert.torch_state_dict_to_flax(sd, "HRNET")
+
+    def assert_tree_equal(a, b, path=""):
+        assert set(a.keys()) == set(b.keys()), (path, set(a) ^ set(b))
+        for k in a:
+            if isinstance(a[k], dict):
+                assert_tree_equal(a[k], b[k], path + "/" + k)
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=path + "/" + k)
+
+    assert_tree_equal(params, back_params)
+    assert_tree_equal(stats, back_stats)
