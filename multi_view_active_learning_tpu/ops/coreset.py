@@ -86,7 +86,11 @@ def k_center_greedy(
 
     def step(i, carry):
         min_dist, selected = carry
-        ind = jnp.argmax(min_dist)
+        # Labeled points are hard-excluded from the argmax: the chunked
+        # ||x||^2+||c||^2-2x.c expansion can leave them at a tiny positive
+        # distance to themselves (cancellation), which would otherwise beat
+        # exhausted unlabeled points sitting at exactly 0.
+        ind = jnp.argmax(jnp.where(labeled_mask, -1.0, min_dist))
         d = jnp.sqrt(
             jnp.maximum(
                 jnp.sum(jnp.square(features - features[ind]), axis=-1), 0.0

@@ -77,3 +77,17 @@ def test_chunked_min_distance_exceeds_chunk_size():
     )
     expected = _greedy_oracle(feats, labeled, 3)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_duplicate_pool_never_selects_labeled():
+    # Degenerate pool: every unlabeled pose identical, n_select > unique
+    # points.  The chunked ||x||^2+||c||^2-2x.c expansion leaves labeled
+    # points at a tiny positive self-distance (cancellation); the greedy
+    # argmax must still never pick them once unlabeled distances hit 0.
+    rng = np.random.default_rng(7)
+    dup = rng.normal(size=(19, 3))
+    sal = {f"s{i}": dup for i in range(3)}
+    al = {f"a{i}": rng.normal(size=(19, 3)) for i in range(2)}
+    batch = coreset.CoreSet(sal, al, joint_root_index=2).select_batch(3)
+    assert len(batch) == 3
+    assert all(k in sal for k in batch)
