@@ -172,6 +172,12 @@ class IH26MConfig:
     TEST_CAPTURE_RANGE: List[int] = field(default_factory=lambda: [0, 1])
     NUM_VIEW_PER_FRAME: int = 16
     TEST_NUM_VIEW_PER_FRAME: int = 32
+    # Reproduce the reference's degenerate farthest-point camera pick
+    # (ih26m_common_cams.py:47 no-op min-distance update -> it takes the
+    # first N common cameras in capture-0 JSON key order).  Needed so
+    # MPJPE-parity runs see the exact same views; the fixed greedy
+    # farthest-point selection stays the default.
+    REFERENCE_COMPAT_CAMS: bool = False
 
 
 @dataclass
@@ -302,6 +308,12 @@ def _merge(node: Any, overrides: dict, path: List[str]) -> None:
                 expected = type(current)
                 if expected in (int, float) and isinstance(value, (int, float)):
                     value = expected(value)
+                elif expected is list and not isinstance(value, list):
+                    # Scalar -> singleton list: the reference's own
+                    # experiments/sample-config.yaml sets SAL.NUM_FRAMES: 20
+                    # (a scalar) for a list-typed key; accept it so user
+                    # experiment YAMLs port unchanged.
+                    value = [value]
                 elif not isinstance(value, expected):
                     raise TypeError(
                         "Config key %s expects %s, got %r"

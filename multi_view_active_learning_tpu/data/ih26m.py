@@ -28,14 +28,38 @@ from .pools import FramePool
 
 
 def select_common_cameras(
-    all_cam: Dict, captures: Sequence, num_cams: int
+    all_cam: Dict, captures: Sequence, num_cams: int,
+    reference_compat: bool = False,
 ) -> List[str]:
     """Greedy farthest-point selection over cameras common to all captures.
 
     Reference intent: ih26m_utils/ih26m_common_cams.py:16-95 (with the
-    min-distance update bug fixed)."""
+    min-distance update bug fixed).
+
+    reference_compat=True reproduces the reference's *actual* behavior:
+    its `nearest_dis` update at ih26m_common_cams.py:47 is a bare no-op
+    statement, so `nearest_dis` stays inf and `inf > furthurest_dis` only
+    fires for the first candidate — each greedy round picks the first
+    remaining camera in iteration order.  Net effect: the first `num_cams`
+    common cameras, in capture-0 JSON key order (not sorted).  Parity runs
+    against reference checkpoints must use this mode so the dataset contains
+    the identical views."""
     captures = [str(c) for c in captures]
     captures = [c for c in captures if c in all_cam]
+    if reference_compat:
+        # Preserve the reference's ordering: capture-0 insertion order,
+        # filtered down to cameras present in every capture.
+        common = list(all_cam[captures[0]]["campos"].keys())
+        for cap in captures:
+            names = all_cam[cap]["campos"].keys()
+            common = [c for c in common if c in names]
+        if num_cams == -1:
+            return common
+        if num_cams > len(common):
+            raise ArithmeticError(
+                "Not enough common cameras among the selected captures."
+            )
+        return common[:num_cams]
     common = None
     for cap in captures:
         names = set(all_cam[cap]["campos"].keys())
@@ -181,7 +205,10 @@ class InterHand26MDataset(FramePool):
         else:
             caps = list(range(*self.data_cfg.IH26M.TEST_CAPTURE_RANGE))
             n = self.data_cfg.IH26M.TEST_NUM_VIEW_PER_FRAME
-        return select_common_cameras(self.all_cam, caps, n)
+        return select_common_cameras(
+            self.all_cam, caps, n,
+            reference_compat=self.data_cfg.IH26M.REFERENCE_COMPAT_CAMS,
+        )
 
     def get_num_view_per_frame(self) -> int:
         return len(self.list_of_cameras)

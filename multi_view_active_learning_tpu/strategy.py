@@ -36,7 +36,7 @@ from .data.pipeline import device_prepare
 from .engine import Engine, TrainState
 from .ops import coreset as coreset_ops
 from .utils import checkpoint as ckpt
-from .utils import evaluation, get_logger
+from .utils import evaluation, get_logger, profiling
 from .utils.kmeans import KMeans
 from .utils.metrics_writer import MetricsWriter
 
@@ -364,6 +364,16 @@ class ActiveLearningStrategy:
                 "Scored %d frames x %d views in %.2fs (%.2f frames/s)."
                 % (n_frames, num_views, dt, n_frames / dt)
             )
+            if _is_main() and self.al_writer is not None:
+                self.al_writer.add_scalar(
+                    "perf/scoring_frames_per_sec", n_frames / dt, iteration
+                )
+                for dev, stats in profiling.device_memory_stats().items():
+                    self.al_writer.add_scalar(
+                        "hbm/%s/bytes_in_use_gib" % dev,
+                        stats["bytes_in_use_gib"],
+                        iteration,
+                    )
         return sal_dict
 
     # -------------------------------------------------------------- training
@@ -398,12 +408,20 @@ class ActiveLearningStrategy:
         return checkpoints_dir, writer
 
     def _load_weights(self, cfg, state: TrainState) -> TrainState:
-        """RESTORE_FROM (strict) / INIT_WEIGHT (filtered pretrained init);
-        reference: strategy.py:713-745."""
+        """RESTORE_FROM (full resume) / INIT_WEIGHT (filtered pretrained
+        init); reference: strategy.py:713-745.
+
+        The reference saves optimizer state but never restores it
+        (strategy.py:713-721 reads only state_dict) — fixed here:
+        TRAIN.RESTORE_FROM performs a true mid-training resume (params +
+        batch stats + optimizer state + step), so loss and lr continue
+        where the killed run stopped.  The AL warm-start path keeps
+        params-only restore (each iteration trains with a fresh optimizer
+        by design)."""
         if cfg.TRAIN.RESTORE_FROM:
-            self._logger.info("Loading weights from %s" % cfg.TRAIN.RESTORE_FROM)
+            self._logger.info("Resuming from %s" % cfg.TRAIN.RESTORE_FROM)
             return self._maybe_replicate(
-                ckpt.restore_params_only(cfg.TRAIN.RESTORE_FROM, state)
+                ckpt.restore_checkpoint(cfg.TRAIN.RESTORE_FROM, state)
             )
         if cfg.TRAIN.INIT_WEIGHT:
             from .models import convert
@@ -434,12 +452,17 @@ class ActiveLearningStrategy:
             train_cfg.TRAIN.OPTIM.TOTAL_STEPS, train_cfg.TRAIN.LOG_EVERY_ITER
         )
         key = jax.random.PRNGKey(int(train_cfg.RANDOM_SEED) & 0x7FFFFFFF)
-        epoch, global_step = 0, 0
+        epoch, global_step = 0, int(jax.device_get(state.step))
+        if global_step:
+            self._logger.info("Resuming training at step %d." % global_step)
         last_loss = float("nan")
         t_start, steps_timed = time.time(), 0
+        step_timer = profiling.StepTimer()
         while global_step < total_steps:
             epoch += 1
+            batches_this_epoch = 0
             for batch in train_loader:
+                batches_this_epoch += 1
                 key, bkey = jax.random.split(key)
                 images, gt_heat = self._device_batch(batch, train=True, key=bkey)
                 state, metrics = self.engine.train_step(
@@ -451,6 +474,7 @@ class ActiveLearningStrategy:
                 )
                 global_step += 1
                 steps_timed += 1
+                step_timer.tick()
                 if bool(metrics["skipped"]):
                     self._logger.warning(
                         "Training loss %.4f invalid at step %d. Step skipped."
@@ -490,6 +514,17 @@ class ActiveLearningStrategy:
                                 eval_results["pckh_thresholds"],
                                 eval_results["pckh_pcks"],
                             )
+                        self._log_train_figures(
+                            writer, state, images, gt_heat, global_step
+                        )
+                        for k, v in step_timer.summary().items():
+                            writer.add_scalar("perf/%s" % k, v, global_step)
+                        for dev, stats in profiling.device_memory_stats().items():
+                            writer.add_scalar(
+                                "hbm/%s/bytes_in_use_gib" % dev,
+                                stats["bytes_in_use_gib"],
+                                global_step,
+                            )
                         steps_per_sec = steps_timed / max(time.time() - t_start, 1e-9)
                         writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
                         self._logger.info(
@@ -505,9 +540,52 @@ class ActiveLearningStrategy:
                         t_start, steps_timed = time.time(), 0
                 if global_step >= total_steps:
                     break
+            if batches_this_epoch == 0:
+                raise RuntimeError(
+                    "Train loader yielded no batches (labeled pool size %d, "
+                    "batch size %d) — training cannot make progress."
+                    % (len(train_pool.labeled_data), train_cfg.TRAIN.BATCH_SIZE)
+                )
         if _is_main() and writer is not None:
             writer.close()
         return state
+
+    def _log_train_figures(self, writer, state, images, gt_heat, step):
+        """Rendered figures every LOG_EVERY_ITER: pred-vs-gt heatmap grid and
+        a 2D keypoint overlay for the first view of the first frame
+        (reference: utils/visualization.py:14-64; the PCK-curve figures are
+        rendered inside MetricsWriter.add_pck_curves)."""
+        from .ops import geometry as geo_ops
+        from .ops import heatmap as heatmap_ops
+        from .utils import visualization
+
+        pred = self.engine.forward(state.params, state.batch_stats, images[:1, :1])
+        pred_hm = np.asarray(
+            jax.device_get(pred[0, 0]), np.float32
+        ).transpose(2, 0, 1)  # [K, h, w]
+        gt_hm = np.asarray(
+            jax.device_get(gt_heat[0, 0]), np.float32
+        ).transpose(2, 0, 1)
+        writer.add_image(
+            "train/pred_vs_gt_heatmaps",
+            visualization.pred_vs_gt_heatmaps(pred_hm, gt_hm),
+            step,
+        )
+        img = np.asarray(jax.device_get(images[0, 0]))
+        if img.dtype != np.uint8:
+            img = geo_ops.denormalize_image(np.asarray(img, np.float32))
+        stride = float(self.al_cfg.POSE_ESTIMATOR.STRIDE)
+        pred_kp = np.asarray(
+            heatmap_ops.decode_argmax(jnp.asarray(pred_hm), stride=stride)[0]
+        )
+        gt_kp = np.asarray(
+            heatmap_ops.decode_argmax(jnp.asarray(gt_hm), stride=stride)[0]
+        )
+        writer.add_image(
+            "train/keypoints_2d",
+            visualization.overlay_keypoints(img, pred_kp, gt_keypoints_2d=gt_kp),
+            step,
+        )
 
     # ------------------------------------------------------------- evaluation
 

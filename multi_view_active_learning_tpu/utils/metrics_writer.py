@@ -61,11 +61,43 @@ class MetricsWriter:
         if self._tb:
             self._tb.add_text(tag, text, step)
 
+    def add_image(self, tag: str, image, step: int) -> None:
+        """HWC uint8 image record: PNG artifact under <log_dir>/images/ +
+        JSONL pointer + TB mirror (reference: writer.add_image with
+        dataformats="HWC", strategy.py:836-848)."""
+        arr = np.ascontiguousarray(np.asarray(image, dtype=np.uint8))
+        rel = os.path.join(
+            "images", "%s-%d.png" % (tag.replace("/", "_"), int(step))
+        )
+        path = os.path.join(self.log_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+        except Exception:
+            rel = None
+        self._write(
+            {
+                "tag": tag,
+                "kind": "image",
+                "step": int(step),
+                "height": int(arr.shape[0]),
+                "width": int(arr.shape[1]),
+                "file": rel,
+            }
+        )
+        if self._tb:
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+
     def add_pck_curves(
-        self, metric_name: str, step: int, thresholds: Sequence[float], pcks
+        self, metric_name: str, step: int, thresholds: Sequence[float], pcks,
+        render_figures: bool = True,
     ) -> None:
-        """The reference's per-threshold average + per-keypoint scalars
-        (strategy.py:808-848), minus the rendered matplotlib images."""
+        """The reference's per-threshold average + per-keypoint scalars plus
+        the rendered PCK-curve figure images (strategy.py:808-848)."""
+        from . import visualization
+
         num_joints = len(pcks[0])
         per_joint = [[] for _ in range(num_joints)]
         avgs = []
@@ -82,6 +114,18 @@ class MetricsWriter:
             self.add_scalar(
                 "%s-AVG/keypoint-%d" % (metric_name, kp_id),
                 float(np.mean(per_joint[kp_id])),
+                step,
+            )
+            if render_figures:
+                self.add_image(
+                    "%s/keypoint-%d" % (metric_name, kp_id),
+                    visualization.plot_pckh_figure(thresholds, per_joint[kp_id]),
+                    step,
+                )
+        if render_figures:
+            self.add_image(
+                "%s/average" % metric_name,
+                visualization.plot_pckh_figure(thresholds, avgs),
                 step,
             )
 

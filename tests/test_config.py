@@ -88,3 +88,17 @@ def test_shipped_sample_configs_parse():
     for name in ("sample-config.yaml", "synthetic-smoke.yaml"):
         cfg = load_config(os.path.join(here, "experiments", name))
         assert cfg.EXPR_TYPE in ("AL", "SAL", "SUPERVISED")
+
+
+def test_reference_sample_config_loads_unchanged():
+    # The reference's own experiments/sample-config.yaml sets SAL.NUM_FRAMES
+    # to a scalar (20) for a list-typed key; merging must coerce it to a
+    # singleton list instead of raising (reference: workflow.py:214-215).
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "reference-sample-config.yaml"
+    )
+    cfg = load_config(path)
+    assert cfg.SAL.NUM_FRAMES == [20]
+    assert cfg.AL.START_ITER == 1
+    assert cfg.TRAIN.OPTIM.TOTAL_STEPS == 170
+    assert cfg.TRAIN.LOSS_CLIP_VALUE == 10.0

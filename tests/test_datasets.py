@@ -159,6 +159,26 @@ def test_select_common_cameras_spread():
     assert len(picked) == 3
 
 
+def test_select_common_cameras_reference_compat():
+    # Compat mode reproduces the reference's degenerate pick
+    # (ih26m_common_cams.py:47): the first N common cameras in capture-0
+    # JSON insertion order — NOT the spread ends.
+    all_cam = {
+        "0": {"campos": {f"c{i}": [float(i), 0.0, 0.0] for i in (3, 1, 4, 0, 5, 2)}},
+        "1": {"campos": {f"c{i}": [float(i), 0.0, 0.0] for i in range(6) if i != 4}},
+    }
+    picked = select_common_cameras(
+        all_cam, ["0", "1"], 3, reference_compat=True
+    )
+    assert picked == ["c3", "c1", "c0"]
+    import pytest as _pytest
+    with _pytest.raises(ArithmeticError):
+        select_common_cameras(all_cam, ["0", "1"], 99, reference_compat=True)
+    assert select_common_cameras(
+        all_cam, ["0", "1"], -1, reference_compat=True
+    ) == ["c3", "c1", "c0", "c5", "c2"]
+
+
 def test_view_cache_hits_across_epochs(cfg):
     from multi_view_active_learning_tpu.data import pipeline
 

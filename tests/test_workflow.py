@@ -82,6 +82,19 @@ def test_supervised_training_end_to_end(tree, tmp_path):
     assert {"lr", "3D MKPE", "loss/train"} <= tags
     assert any(t.startswith("3DPCK@") for t in tags)
 
+    # rendered figures land as image records + PNG artifacts
+    # (reference: strategy.py:808-848 PCK-curve images; visualization.py grids)
+    images = [m for m in metrics if m.get("kind") == "image"]
+    image_tags = {m["tag"] for m in images}
+    assert "train/pred_vs_gt_heatmaps" in image_tags
+    assert "train/keypoints_2d" in image_tags
+    assert "3DPCK/average" in image_tags
+    summary_dir = os.path.join(str(tmp_path), "TEST", "FULLY_SUPERVISED", "summary")
+    for m in images[:3]:
+        assert m["file"] and os.path.isfile(os.path.join(summary_dir, m["file"]))
+    # perf + step-timer scalars are wired (SURVEY.md §5 profiling requirement)
+    assert "perf/steps_per_sec" in tags
+
     # EVAL restores the final checkpoint and reports finite metrics.
     eval_cfg = cfg.clone()
     eval_cfg.EXPR_TYPE = "EVAL"
@@ -206,3 +219,64 @@ def test_sal_loop_on_mesh(tree, tmp_path):
     assert os.path.isdir(
         os.path.join(expr, "ITER-1", "checkpoints", "CKPT-FINAL")
     )
+
+
+def test_restore_from_resumes_optimizer_and_step(tree, tmp_path):
+    """TRAIN.RESTORE_FROM is a true mid-training resume: params + optimizer
+    state + step all continue (the reference saved but never restored the
+    optimizer, strategy.py:713-721 — fixed here)."""
+    import jax
+
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 2
+    cfg.TRAIN.LOG_EVERY_ITER = 2
+    strategy = ActiveLearningStrategy(cfg)
+    train_pool = build_dataset(cfg, "train")
+    val_pool = build_dataset(cfg, "val")
+    strategy.run_fully_supervised_training(
+        strategy.new_state(), train_pool, val_pool
+    )
+    first_ckpt = os.path.join(
+        str(tmp_path), "TEST", "FULLY_SUPERVISED", "checkpoints", "CKPT-FINAL"
+    )
+    assert os.path.isdir(first_ckpt)
+
+    cfg2 = _tiny_cfg(tree, str(tmp_path))
+    cfg2.EXPR_NAME = "TEST-RESUMED"
+    cfg2.TRAIN.RESTORE_FROM = first_ckpt
+    cfg2.TRAIN.OPTIM.TOTAL_STEPS = 4
+    cfg2.TRAIN.LOG_EVERY_ITER = 2
+    strategy2 = ActiveLearningStrategy(cfg2)
+    strategy2.run_fully_supervised_training(
+        strategy2.new_state(), build_dataset(cfg2, "train"), build_dataset(cfg2, "val")
+    )
+    run2 = os.path.join(str(tmp_path), "TEST-RESUMED", "FULLY_SUPERVISED")
+    ckpts = os.listdir(os.path.join(run2, "checkpoints"))
+    # resumed at step 2 -> the step-2 checkpoint belongs to run 1 only
+    assert any(c.startswith("CKPT-E4-") for c in ckpts)
+    assert not any(c.startswith("CKPT-E2-") for c in ckpts)
+    # the saved final state carries the continued step counter
+    restored = ckpt.restore_checkpoint(
+        os.path.join(run2, "checkpoints", "CKPT-FINAL"),
+        strategy2.new_state(),
+    )
+    assert int(jax.device_get(restored.step)) == 4
+    # metrics only contain steps > 2 (no restart from zero)
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(run2, "summary", "metrics.jsonl"))
+    ]
+    steps = {m["step"] for m in metrics if m["tag"] == "loss/train"}
+    assert steps == {4}
+
+
+def test_train_raises_on_empty_pool(tree, tmp_path):
+    """An empty labeled pool must fail loudly, not spin forever."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.TRAIN.FULLY_SUPERVISED_FRAME_COUNT = 0
+    strategy = ActiveLearningStrategy(cfg)
+    with pytest.raises(RuntimeError, match="no batches"):
+        strategy.run_fully_supervised_training(
+            strategy.new_state(), build_dataset(cfg, "train"),
+            build_dataset(cfg, "val"),
+        )
