@@ -35,8 +35,8 @@ def initialize_distributed() -> bool:
     per-experiment tempfile plumbing."""
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if jax.distributed.is_initialized():
+        return True
     if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     ):

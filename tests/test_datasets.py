@@ -95,17 +95,21 @@ def test_frame_loader_sharding(cfg):
     ds = build_dataset(cfg, "train")
     ds.label_all()
     ds.resample_frames(-1, rng=np.random.default_rng(0))
-    guids = set()
+    per_shard = []
     for shard in range(2):
         loader = FrameLoader(
             ds, cfg.DATA, 4, batch_size=2, num_shards=2, shard_index=shard,
             prefetch=0,
         )
+        got = set()
         for b in loader:
             for g, v in zip(b["guid"], b["frame_valid"]):
                 if v:
-                    guids.add(g)
-    assert len(guids) == 4  # both shards together cover the pool exactly
+                    got.add(g)
+        per_shard.append(got)
+    # shards are disjoint and together cover the pool exactly
+    assert not per_shard[0] & per_shard[1]
+    assert len(per_shard[0] | per_shard[1]) == 4
 
 
 def test_device_prepare_heatmaps_peak_at_keypoints(cfg):

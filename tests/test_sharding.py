@@ -69,9 +69,12 @@ def test_sharded_triangulation_matches_single_device():
     assert err.max() < 5.0
 
 
-def test_sharded_forward_runs_and_is_close():
-    """Full score_step under the mesh: decisions may differ only within f32
-    reduction-order noise of the conv forward."""
+def test_sharded_score_step_matches_single_device():
+    """Full score_step (conv forward + triangulation + AL metric) compared
+    between an unsharded run and a ('data'=4, 'view'=2) mesh run on the SAME
+    params/inputs.  The conv forward may differ within f32 reduction-order
+    noise, so comparisons use tolerances; the discrete decisions
+    (inlier counts) must agree exactly."""
     cfg = get_default_configs()
     cfg.DATA.NUM_JOINTS = 4
     cfg.DATA.INPUT_WIDTH = 32
@@ -95,22 +98,50 @@ def test_sharded_forward_runs_and_is_close():
     pairs = jnp.asarray(triangulate.all_view_pairs(V))
     key = jax.random.PRNGKey(3)
 
+    def run(put):
+        out = engine.score_step(
+            state.params,
+            state.batch_stats,
+            put(images, parallel.batch_sharding(mesh, 5)),
+            put(proj, parallel.batch_sharding(mesh, 4)),
+            put(valid, parallel.data_sharding(mesh, 2)),
+            pairs,
+            put(gt, parallel.data_sharding(mesh, 3)),
+            key,
+            al_strategy="TRIANGULATION",
+        )
+        return jax.device_get(out)
+
     mesh = parallel.make_mesh(4, 2)
-    out = engine.score_step(
-        state.params,
-        state.batch_stats,
-        jax.device_put(images, parallel.batch_sharding(mesh, 5)),
-        jax.device_put(proj, parallel.batch_sharding(mesh, 4)),
-        jax.device_put(valid, parallel.data_sharding(mesh, 2)),
-        pairs,
-        jax.device_put(gt, parallel.data_sharding(mesh, 3)),
-        key,
-        al_strategy="TRIANGULATION",
+    ref = run(lambda a, _s: jnp.asarray(a))  # single-device
+    sharded = run(jax.device_put)
+
+    # The conv forward itself must be equivalent under the mesh: tight
+    # tolerance on the heatmaps (only f32 reduction-order noise allowed).
+    hm_ref = jax.device_get(
+        engine.forward(state.params, state.batch_stats, jnp.asarray(images))
     )
-    out = jax.device_get(out)
-    assert np.isfinite(out["al_metric"]).all()
-    assert out["keypoints_3d"].shape == (B, K, 3)
-    assert (out["inlier_count"] >= 2).all()
+    hm_sharded = jax.device_get(
+        engine.forward(
+            state.params,
+            state.batch_stats,
+            jax.device_put(images, parallel.batch_sharding(mesh, 5)),
+        )
+    )
+    np.testing.assert_allclose(hm_ref, hm_sharded, rtol=1e-4, atol=1e-5)
+
+    # Downstream decisions: discrete outcomes must agree exactly; continuous
+    # metrics within the amplification an untrained-net argmax decode allows
+    # (noise inputs make borderline peaks move by a cell).
+    np.testing.assert_array_equal(ref["inlier_count"], sharded["inlier_count"])
+    np.testing.assert_allclose(
+        ref["keypoints_3d"], sharded["keypoints_3d"], rtol=0.05, atol=1.0
+    )
+    np.testing.assert_allclose(
+        ref["al_metric"], sharded["al_metric"], rtol=0.15, atol=1e-3
+    )
+    assert np.isfinite(sharded["al_metric"]).all()
+    assert (sharded["inlier_count"] >= 2).all()
 
 
 def test_shard_batch_places_arrays():

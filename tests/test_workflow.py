@@ -20,6 +20,8 @@ from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 from multi_view_active_learning_tpu.utils import checkpoint as ckpt
 from multi_view_active_learning_tpu import workflow
 
+pytestmark = pytest.mark.heavy  # full experiments: fresh jit compiles
+
 NUM_JOINTS, NUM_CAMS = 19, 4
 
 
