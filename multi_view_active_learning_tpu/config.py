@@ -227,6 +227,23 @@ class TPUConfig:
     COMPUTE_DTYPE: str = "bfloat16"
     # Rematerialize backbone stages in the train step to trade FLOPs for HBM.
     REMAT: bool = False
+    # Mathematically exact fast paths (see models/pose_resnet.py
+    # SpaceToDepthStem / PhaseDeconv): the 7x7/s2 3-channel stem as a dense
+    # space-to-depth conv, and the k4/s2 transposed convs as one 2x2 conv +
+    # phase interleave.  Param trees are identical either way.
+    # Space-to-depth the raw uint8 frames before normalization on the
+    # scoring/eval path so the stem runs as a dense 4x4/s1 conv on 12
+    # channels (mathematically exact; the ISOLATED stem measures 8.4 ->
+    # 4.0 ms on the 124-crop scoring batch, but the FULL score_step
+    # measures ~3% slower with it — on this backend whole-graph XLA
+    # scheduling beats the source-level reformulation; see BENCH_NOTES.md
+    # round-2 analysis).  Kept as an exact, tested option.
+    SPACE_TO_DEPTH_STEM: bool = False
+    # PhaseDeconv reformulation of the transposed-conv head: exact and
+    # tested, but measured SLOWER on the v5e axon backend (the phase
+    # interleave relayouts are HBM-bound: head 6.4 -> 14.3 ms).  Kept as an
+    # option for other backends.
+    FAST_DECONV: bool = False
     # DLT solver for the 4x4 normal equations:
     #   "power" — adjugate inverse iteration, closed-form elementwise math;
     #             ~3 orders of magnitude faster than batched eigh/svd on TPU

@@ -19,6 +19,7 @@ def build_model(cfg):
             num_joints=cfg.DATA.NUM_JOINTS,
             num_layers=cfg.POSE_ESTIMATOR.NUM_LAYERS,
             dtype=_dtype(cfg),
+            fast_deconv=cfg.TPU.FAST_DECONV,
         )
     if cfg.POSE_ESTIMATOR.TYPE == "HRNET":
         return PoseHighResolutionNet.from_config(

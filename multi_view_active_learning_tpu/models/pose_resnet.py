@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM_TORCH = 0.1  # flax momentum = 1 - torch momentum
@@ -113,23 +114,145 @@ RESNET_SPEC = {
 }
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H/2, W/2, 4C] in (p, q, c)-major channel order.
+
+    Cheap on uint8 inputs (4x fewer bytes than post-normalize bf16); the
+    scoring path applies it before normalization (engine.forward)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+class SpaceToDepthStem(nn.Module):
+    """The 7x7/s2 stem conv, accepting plain OR space-to-depth inputs.
+
+    With a [N, H, W, 3] input this is exactly the reference's 7x7 stride-2
+    conv.  With a pre-space-to-depth'd [N, H/2, W/2, 12] input (see
+    `space_to_depth`) it computes the IDENTICAL function as a dense 4x4
+    stride-1 conv over 12 channels — a 3-channel conv uses 3/128 of an MXU
+    lane, and the elementwise normalize ahead of it runs 4x denser too
+    (measured: uint8-in stem 8.4 ms -> 4.0 ms on the 124-crop scoring
+    batch; doing the s2d on bf16 activations in-graph is SLOWER, which is
+    why the transform happens on the uint8 input instead).  The parameter
+    keeps the reference's [7,7,3,64] shape and the "kernel" name so
+    checkpoints and the torch converter are untouched.
+
+    Derivation: y[o] = sum_k w[k] x[2o+k-3].  With x_s2d[m,p] = x[2m+p] and
+    k = 2t+p-1 (t in 0..3, p in 0..1): y[o] = sum_{t,p} w[2t+p-1] x_s2d[o+t-2, p]
+    — a 4-tap stride-1 conv with padding (2,1), kernel remapped as
+    wp = pad_left(w, 1); w_s2d[t, u, (p,q,c)] = wp[2t+p, 2u+q, c].
+    """
+
+    features: int = 64
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, self.in_channels, self.features),
+            jnp.float32,
+        )
+        if c == self.in_channels:  # plain path — bitwise the reference conv
+            return jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if c != 4 * self.in_channels:
+            raise ValueError(
+                "stem expects %d or %d channels, got %d"
+                % (self.in_channels, 4 * self.in_channels, c)
+            )
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,c,64]
+        ws = wp.reshape(4, 2, 4, 2, self.in_channels, self.features)
+        ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * self.in_channels, self.features
+        )
+        return jax.lax.conv_general_dilated(
+            x,
+            ws.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class PhaseDeconv(nn.Module):
+    """ConvTranspose(k4, s2, SAME) computed as one dense 2x2 conv + phase
+    interleave (a depth-to-space with per-phase output alignment).
+
+    Mathematically EXACT: flax/lax conv_transpose here satisfies
+    y[o] = sum_t W[t] x[(o+t-2)/2] (verified by delta probing), so output
+    phase r uses taps t = 2a + r reading windows (x[i-1], x[i]) shifted
+    by r.  One k2/s1 conv with padding (1,1) over 4*Cout phase kernels
+    k2[a,b,:,(r,s)] = W[2a+r, 2b+s] computes all phases; each phase is a
+    shifted [h, w] slice, interleaved back to [2h, 2w].  Avoids XLA's
+    dilated-input transposed-conv lowering (head measured at 29% MXU).
+    Parameter shape/name matches nn.ConvTranspose ([4,4,Cin,Cout],
+    "kernel") for checkpoint compat.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.normal(stddev=INIT_STD)
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (4, 4, c_in, self.features), jnp.float32
+        )
+        n, h, w, _ = x.shape
+        co = self.features
+        # k2[a, b, c, (r, s, o)] = W[2a+r, 2b+s, c, o]
+        k2 = kernel.reshape(2, 2, 2, 2, c_in, co)  # [a, r, b, s, c, o]
+        k2 = k2.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, c_in, 4 * co)
+        z = jax.lax.conv_general_dilated(
+            x,
+            k2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [n, h+1, w+1, 4co]
+        z = z.reshape(n, h + 1, w + 1, 2, 2, co)
+        # phase (r, s) output plane = z[:, r : r+h, s : s+w, r, s, :]
+        rows = []
+        for r in range(2):
+            cols = [z[:, r : r + h, s : s + w, r, s, :] for s in range(2)]
+            rows.append(jnp.stack(cols, axis=3))  # [n, h, w, 2(s), co]
+        y = jnp.stack(rows, axis=3)  # [n, h, w, 2(r), 2(s), co]
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, co)
+        return y
+
+
 class PoseResNet(nn.Module):
     """images [N, H, W, 3] -> heatmaps [N, H/4, W/4, num_joints]."""
 
     num_joints: int
     num_layers: int = 50
     dtype: Any = jnp.float32
+    # Mathematically exact PhaseDeconv reformulation of the head; param
+    # trees identical.  Measured slower on the v5e axon backend (the phase
+    # interleave relayouts are HBM-bound) — kept as a tested option.
+    fast_deconv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """x: [N, H, W, 3] images, or [N, H/2, W/2, 12] space-to-depth'd
+        images (the TPU scoring fast path — see SpaceToDepthStem)."""
         block_cls, layer_sizes = RESNET_SPEC[self.num_layers]
         x = x.astype(self.dtype)
 
-        # Stem: 7x7/2 conv + BN + 3x3/2 maxpool.
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        # Stem: 7x7/2 conv + BN + 3x3/2 maxpool.  SpaceToDepthStem computes
+        # the identical conv for either input layout.
+        x = SpaceToDepthStem(64, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(self.dtype, "bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -155,11 +278,14 @@ class PoseResNet(nn.Module):
 
         # Deconv head: 3x (ConvTranspose 256, k4, s2) + BN + ReLU.
         for i in range(3):
-            x = nn.ConvTranspose(
-                256, (4, 4), strides=(2, 2), padding="SAME", use_bias=False,
-                kernel_init=nn.initializers.normal(stddev=INIT_STD),
-                dtype=self.dtype, name=f"deconv{i}",
-            )(x)
+            if self.fast_deconv:
+                x = PhaseDeconv(256, dtype=self.dtype, name=f"deconv{i}")(x)
+            else:
+                x = nn.ConvTranspose(
+                    256, (4, 4), strides=(2, 2), padding="SAME", use_bias=False,
+                    kernel_init=nn.initializers.normal(stddev=INIT_STD),
+                    dtype=self.dtype, name=f"deconv{i}",
+                )(x)
             x = batch_norm(self.dtype, f"deconv_bn{i}")(x, use_running_average=not train)
             x = nn.relu(x)
 

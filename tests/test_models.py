@@ -89,3 +89,73 @@ def test_bfloat16_compute_keeps_f32_output():
         p.dtype for p in jax.tree_util.tree_leaves(variables["params"])
     }
     assert kinds == {jnp.dtype(jnp.float32)}
+
+
+def test_space_to_depth_input_is_exact():
+    """PoseResNet on a space-to-depth'd input must reproduce the plain-input
+    model exactly (same params — the stem computes the identical conv in
+    either layout)."""
+    import jax
+    import numpy as np
+
+    from multi_view_active_learning_tpu.models.pose_resnet import space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    model = PoseResNet(num_joints=7, num_layers=18)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y_plain = model.apply(variables, x, train=False)
+    y_s2d = model.apply(variables, space_to_depth(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_plain), np.asarray(y_s2d), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fast_deconv_is_exact():
+    """PhaseDeconv is a mathematical reformulation of ConvTranspose: with
+    IDENTICAL params both models must agree to f32 tolerance."""
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    slow = PoseResNet(num_joints=7, num_layers=18)
+    fast = PoseResNet(num_joints=7, num_layers=18, fast_deconv=True)
+    variables = slow.init(jax.random.PRNGKey(0), x, train=False)
+    fast_vars = fast.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(fast_vars)
+    y_slow = slow.apply(variables, x, train=False)
+    y_fast = fast.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_slow), np.asarray(y_fast), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_engine_forward_s2d_path_matches_plain():
+    """engine.forward's uint8 space-to-depth fast path must produce the
+    same heatmaps as the plain path (flag off)."""
+    import jax
+    import numpy as np
+
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.engine import Engine
+
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, size=(1, 2, 64, 64, 3)), jnp.uint8)
+
+    cfg.TPU.SPACE_TO_DEPTH_STEM = True
+    eng = Engine(cfg)
+    state = eng.init_state(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    y_fast = eng.forward(state.params, state.batch_stats, images)
+
+    cfg2 = cfg.clone()
+    cfg2.TPU.SPACE_TO_DEPTH_STEM = False
+    eng2 = Engine(cfg2)
+    y_plain = eng2.forward(state.params, state.batch_stats, images)
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_plain), rtol=1e-4, atol=1e-4
+    )
