@@ -80,15 +80,23 @@ class Engine:
             self.cfg.DATA.INPUT_WIDTH,
             3,
         )
-        variables = self.model.init(rng, jnp.zeros(shape, jnp.float32), train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        return TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-        )
+        # Jit the whole init: run eagerly, flax init dispatches one tiny
+        # remote op per layer (~50 s through the tunneled runtime for
+        # ResNet-18; one compiled program instead).
+        def make(rng):
+            variables = self.model.init(
+                rng, jnp.zeros(shape, jnp.float32), train=False
+            )
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=self.tx.init(params),
+            )
+
+        return jax.jit(make)(rng)
 
     def pairs(self, num_views: int) -> np.ndarray:
         if num_views not in self._pairs_cache:

@@ -40,16 +40,41 @@ def _as_tree(state) -> dict:
 
 def save_checkpoint(path: str, state, epoch: int = 0) -> str:
     """Save (overwriting like the reference, strategy.py:693-696)."""
+    import jax
+
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
         _logger.info("Overwriting checkpoint: %s" % path)
     tree = dict(_as_tree(state))
     tree["epoch"] = epoch
+    # Fetch the whole tree in one batched device->host pass: leaf-by-leaf
+    # fetches inside the serializer cost one tunnel round-trip each
+    # (~25 ms x ~120 leaves measured).
+    tree = jax.device_get(tree)
     _ckpt().save(path, tree)
     _ckpt().wait_until_finished()
     _logger.info("Checkpoint saved at %s." % path)
     return path
+
+
+def save_checkpoints(paths, state, epoch: int = 0) -> None:
+    """Save the same state under several paths: one device->host fetch +
+    one orbax serialize, then host-side directory copies for the rest.
+
+    The fetch is tunnel-bandwidth-bound (~5.5 s for a ResNet-18 Adam state
+    measured); serializing twice doubled the cost for identical bytes.
+    NOTE: a background-thread variant was measured SLOWER overall — the
+    fetch contends with the training dispatch stream on the tunneled
+    runtime's single connection — so this stays synchronous."""
+    first = save_checkpoint(paths[0], state, epoch)
+    for path in paths[1:]:
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+            _logger.info("Overwriting checkpoint: %s" % path)
+        shutil.copytree(first, path)
+        _logger.info("Checkpoint saved at %s." % path)
 
 
 def restore_checkpoint(path: str, state):

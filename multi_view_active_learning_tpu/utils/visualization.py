@@ -32,22 +32,29 @@ def _fig_to_array(fig) -> np.ndarray:
     return buf.copy()
 
 
+_PCK_FIG = None  # reused figure: subplots() is ~10x the cost of plotting
+
+
 def plot_pckh_figure(thresholds: Sequence[float], pck: Sequence[float]) -> np.ndarray:
     """PCK-vs-threshold curve as an image (reference:
-    utils/evaluation.py:109-118)."""
+    utils/evaluation.py:109-118).  The figure object is reused across calls
+    — training logs render 20+ of these per log point and figure creation
+    dominates on a 1-core host."""
+    global _PCK_FIG
     plt = _mpl()
     if plt is None:
         # 1-pixel-per-threshold fallback bar strip.
         strip = (np.asarray(pck, dtype=np.float64) * 255).astype(np.uint8)
         return np.tile(strip[None, :, None], (16, 1, 3))
-    fig, axis = plt.subplots(figsize=(4, 3))
+    if _PCK_FIG is None:
+        _PCK_FIG = plt.subplots(figsize=(4, 3))
+    fig, axis = _PCK_FIG
+    axis.clear()
     axis.set_ylim((0.0, 1.0))
     axis.plot(thresholds, pck, "r+")
     axis.plot(thresholds, pck)
     axis.grid(True)
-    arr = _fig_to_array(fig)
-    plt.close(fig)
-    return arr
+    return _fig_to_array(fig)
 
 
 def heatmap_grid(heatmaps: np.ndarray, max_cols: int = 8) -> np.ndarray:
