@@ -73,6 +73,7 @@ def _fake_torch_names_from_flax(tree, mapper_inverse):
     return paths
 
 
+@pytest.mark.heavy
 def test_posresnet_name_mapping_covers_model():
     model = PoseResNet(num_joints=3, num_layers=18)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
@@ -114,6 +115,7 @@ def test_posresnet_name_mapping_covers_model():
         exists(variables["batch_stats"], keys)
 
 
+@pytest.mark.heavy
 def test_hrnet_name_mapping_samples():
     model = PoseHighResolutionNet(num_joints=3)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
@@ -142,6 +144,7 @@ def test_hrnet_name_mapping_samples():
         exists(variables["params"], expected)
 
 
+@pytest.mark.heavy
 def test_load_pretrained_drops_final_layer(tmp_path):
     import os
 

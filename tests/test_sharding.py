@@ -25,6 +25,7 @@ def test_make_mesh_shapes():
         parallel.make_mesh(3, 2)  # 6 != 8
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip():
     import __graft_entry__ as graft
 
@@ -69,6 +70,7 @@ def test_sharded_triangulation_matches_single_device():
     assert err.max() < 5.0
 
 
+@pytest.mark.heavy
 def test_sharded_score_step_matches_single_device():
     """Full score_step (conv forward + triangulation + AL metric) compared
     between an unsharded run and a ('data'=4, 'view'=2) mesh run on the SAME

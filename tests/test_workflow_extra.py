@@ -17,6 +17,8 @@ from multi_view_active_learning_tpu.data.synthetic import (
 )
 from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 
+pytestmark = pytest.mark.heavy  # full experiments: fresh jit compiles
+
 NUM_JOINTS, NUM_CAMS = 19, 4
 
 
