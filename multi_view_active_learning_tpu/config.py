@@ -103,6 +103,16 @@ class TrainConfig:
     BATCH_SIZE: int = 2
     NUM_WORKERS: int = 2
     LOG_EVERY_ITER: int = 500
+    # Beyond-reference training objective (the reference only has heatmap
+    # MSE, pose_estimators/loss.py:10-24):
+    #   "MSE"          — the reference's masked heatmap MSE (default);
+    #   "INTEGRAL"     — soft-argmax coordinate regression
+    #                    (integral pose regression, Sun et al. ECCV'18);
+    #   "MSE+INTEGRAL" — MSE + INTEGRAL_WEIGHT * integral term.
+    LOSS: str = "MSE"
+    INTEGRAL_WEIGHT: float = 1.0
+    # softmax temperature over the predicted heatmap for the soft-argmax.
+    INTEGRAL_BETA: float = 10.0
     OPTIM: OptimConfig = field(default_factory=OptimConfig)
 
 
@@ -201,6 +211,14 @@ class DataConfig:
     # decode for large frames (throughput mode, not bit-exact).
     USE_NATIVE_LOADER: bool = True
     NATIVE_FAST_SCALE: bool = False
+    # Ship full uint8 frames to the device and run the square-box crop +
+    # bilinear resize there (ops/image.py::crop_resize_uint8) instead of
+    # host-side PIL/native Lanczos.  For direct-attached TPUs with many
+    # person crops per frame (or re-crops under augmentation) this moves
+    # the per-view resample off the host; through a slow host<->device link
+    # shipping full frames is a net loss, so it is off by default.
+    # Requires every view of a dataset to share one frame size.
+    DEVICE_CROP: bool = False
     # Decoded-view cache entries (0 disables).  Training epochs re-iterate
     # the same small labeled pool (resample_frames duplicates it to
     # EPOCH_SIZE, dataset.py:76-96 in the reference, which re-decodes every

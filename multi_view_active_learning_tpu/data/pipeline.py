@@ -19,8 +19,10 @@ Batches are fixed-shape: the final partial batch is padded and flagged via
 
 from __future__ import annotations
 
+import multiprocessing
 import threading
-from collections import OrderedDict
+from collections import OrderedDict, deque
+from concurrent.futures import ProcessPoolExecutor
 from functools import partial
 from queue import Queue
 from typing import Dict, Iterator, List
@@ -92,6 +94,7 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
 
     use_native = getattr(data_cfg, "USE_NATIVE_LOADER", False)
     fast_scale = getattr(data_cfg, "NATIVE_FAST_SCALE", False)
+    device_crop = getattr(data_cfg, "DEVICE_CROP", False)
     if use_native:
         from . import native_loader
 
@@ -101,6 +104,39 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
     for camera_name, view in frame["views"].items():
         bbox = geometry.get_square_bbox(tuple(view["box"]))
         bbox = geometry.scale_bbox(bbox, data_cfg.SCALE_BBOX)
+        if device_crop:
+            # DEVICE_CROP mode: decode the full frame only; the square-box
+            # crop + resize runs on device (ops/image.py::crop_resize_uint8).
+            # All camera/keypoint math below is identical — it depends on
+            # the bbox, not on the pixels.
+            cache_key = (view["path"], "full")
+            cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
+            image = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
+            if image is None:
+                with open(view["path"], "rb") as f:
+                    image = np.asarray(Image.open(f))
+                image = np.ascontiguousarray(image[..., ::-1])  # BGR flip
+                if cache_size > 0:
+                    VIEW_CACHE.put(cache_key, image, cache_size)
+            cam = geometry.Camera(
+                view["camera"]["R"],
+                view["camera"]["t"],
+                view["camera"]["K"],
+                view["camera"]["dist"],
+                name=camera_name,
+            )
+            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
+            cam.update_after_crop(bbox)
+            kps_after_crop.append(cam.project(kp3d).astype(np.float32))
+            cam.update_after_resize(
+                crop_shape, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT
+            )
+            projs.append(cam.projection.astype(np.float32))
+            kps.append(cam.project(kp3d).astype(np.float32))
+            images.append(image)
+            sq_boxes.append(np.asarray(bbox, dtype=np.float32))
+            pvjv.append(np.asarray(view["per_view_joint_valid"], dtype=bool))
+            continue
         cam = geometry.Camera(
             view["camera"]["R"],
             view["camera"]["t"],
@@ -154,7 +190,9 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
         pvjv.append(np.asarray(view["per_view_joint_valid"], dtype=bool))
 
     return {
-        "images": np.stack(images),  # [V, H, W, 3] uint8
+        # [V, H, W, 3] uint8 crops; with DATA.DEVICE_CROP, full frames
+        # (one shared frame size per dataset is required).
+        "images": np.stack(images),
         "proj_matrices": np.stack(projs),  # [V, 3, 4]
         "2d_keypoints": np.stack(kps),  # [V, K, 2] post-resize
         "2d_after_crop": np.stack(kps_after_crop),
@@ -239,6 +277,7 @@ class FrameLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.pool = pool
         self.data_cfg = data_cfg
@@ -247,18 +286,82 @@ class FrameLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._executor: ProcessPoolExecutor | None = None
 
     def __len__(self) -> int:
         n = len(self.pool.data[self.shard_index :: self.num_shards])
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _ensure_executor(self) -> ProcessPoolExecutor | None:
+        """Lazily start the decode worker pool (the torch DataLoader
+        `num_workers` analog, reference: strategy.py:747-760).
+
+        Workers run only host code (JPEG decode / crop / resize — numpy,
+        PIL, or the native loader); they never touch jax, so forking with a
+        live device client is safe.  `fork` is preferred: children inherit
+        loaded modules and the warm VIEW_CACHE copy-on-write, so there is
+        no per-worker import cost and no re-decode of already-cached views.
+        """
+        if self.num_workers > 0 and self._executor is None:
+            try:
+                ctx = multiprocessing.get_context("fork")
+            except ValueError:  # platforms without fork
+                ctx = multiprocessing.get_context("spawn")
+            self._executor = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx
+            )
+        return self._executor
+
+    def close(self) -> None:
+        if self._executor is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _prepared(self, frames) -> Iterator[Dict]:
+        """Per-frame host prep, in order; overlapped across `num_workers`
+        processes with a bounded in-flight window (unbounded submission
+        would buffer ~1 MB/frame of decoded views for the whole epoch)."""
+        ex = self._ensure_executor()
+        if ex is None:
+            for f in frames:
+                yield prepare_views_host(f, self.data_cfg, self.gt_stride)
+            return
+        window = max(2 * self.num_workers, self.batch_size)
+        pending: deque = deque()
+        it = iter(frames)
+        try:
+            for f in it:
+                pending.append(
+                    ex.submit(prepare_views_host, f, self.data_cfg, self.gt_stride)
+                )
+                if len(pending) >= window:
+                    break
+            for f in it:
+                out = pending.popleft().result()
+                pending.append(
+                    ex.submit(prepare_views_host, f, self.data_cfg, self.gt_stride)
+                )
+                yield out
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            while pending:
+                pending.popleft().cancel()
+
     def _batches(self) -> Iterator[Dict]:
         frames = self.pool.data[self.shard_index :: self.num_shards]
         B = self.batch_size
+        prepared_it = self._prepared(frames)
         for start in range(0, len(frames), B):
-            chunk = frames[start : start + B]
             prepared = [
-                prepare_views_host(f, self.data_cfg, self.gt_stride) for f in chunk
+                next(prepared_it) for _ in range(min(B, len(frames) - start))
             ]
             valid = np.zeros(B, bool)
             valid[: len(prepared)] = True

@@ -141,9 +141,27 @@ class Engine:
             # trades FLOPs for HBM so larger B*V crop batches fit.
             forward_fn = jax.checkpoint(forward_fn)
 
+        loss_type = self.cfg.TRAIN.LOSS
+        if loss_type not in ("MSE", "INTEGRAL", "MSE+INTEGRAL"):
+            raise NotImplementedError("Unknown TRAIN.LOSS: %s" % loss_type)
+
         def loss_fn(params):
             out, mutated = forward_fn(params, flat_images)
-            loss = heatmap_ops.heatmap_mse_loss(out, flat_gt, mask)
+            loss = jnp.zeros((), jnp.float32)
+            if loss_type in ("MSE", "MSE+INTEGRAL"):
+                loss = heatmap_ops.heatmap_mse_loss(out, flat_gt, mask)
+            if loss_type in ("INTEGRAL", "MSE+INTEGRAL"):
+                weight = (
+                    self.cfg.TRAIN.INTEGRAL_WEIGHT
+                    if loss_type == "MSE+INTEGRAL"
+                    else 1.0
+                )
+                loss = loss + weight * heatmap_ops.integral_regression_loss(
+                    out,
+                    flat_gt,
+                    mask[:, 0, 0, :],
+                    beta=self.cfg.TRAIN.INTEGRAL_BETA,
+                )
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -130,6 +130,59 @@ def decode_keypoints_bbox(
     return coords * scale
 
 
+def integral_regression_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    joint_valid: jnp.ndarray | None = None,
+    beta: float = 10.0,
+    peak_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Soft-argmax (integral) coordinate-regression loss, NHWC.
+
+    Beyond-reference training objective (the reference trains heatmap MSE
+    only, pose_estimators/loss.py:10-24): the predicted keypoint is the
+    softmax(beta * heatmap) spatial expectation — fully differentiable, so
+    the sub-pixel coordinate itself is supervised (integral pose
+    regression, Sun et al., ECCV'18).
+
+    The regression target is the *linear* spatial expectation of the GT
+    Gaussian heatmap (exactly the keypoint when its support lies in the
+    crop), NOT the raw 2D keypoint — so targets automatically follow any
+    on-device augmentation that transformed the GT heatmaps
+    (data/augmentation.py rotations).
+
+    pred/target: [N, h, w, K]; joint_valid: [N, K] bool (optional).
+    Joints whose GT heatmap has no in-crop support (peak < peak_threshold)
+    are excluded.  The per-joint error is L1 in *normalized* coordinates
+    (|dx|/w + |dy|/h, so one unit == one full heatmap extent), averaged
+    over valid joints — bounded ~[0, 2] regardless of resolution, which
+    keeps TRAIN.LOSS_CLIP_VALUE semantics meaningful.
+    """
+    h, w = pred.shape[1], pred.shape[2]
+    pred_k = jnp.moveaxis(pred, -1, 1)  # [N, K, h, w]
+    tgt_k = jnp.moveaxis(target, -1, 1)
+    pred_xy = soft_argmax(pred_k, stride=1.0, temperature=beta)  # [N, K, 2]
+
+    # Linear (not softmax) expectation of the GT Gaussian: its exact mean.
+    tgt_sum = jnp.sum(tgt_k, axis=(-2, -1))  # [N, K]
+    probs = tgt_k / jnp.maximum(tgt_sum, 1e-8)[..., None, None]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    tx = jnp.sum(probs, axis=-2) @ xs
+    ty = jnp.sum(probs, axis=-1) @ ys
+    tgt_xy = jnp.stack([tx, ty], axis=-1)  # [N, K, 2]
+
+    valid = jnp.max(tgt_k, axis=(-2, -1)) > peak_threshold  # [N, K]
+    if joint_valid is not None:
+        valid = valid & joint_valid
+    diff = jnp.abs(pred_xy - tgt_xy) / jnp.asarray(
+        [float(w), float(h)], jnp.float32
+    )
+    err = jnp.sum(diff, axis=-1)  # [N, K]
+    err = jnp.where(valid, err, 0.0)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def heatmap_mse_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,

@@ -66,3 +66,29 @@ def crop_and_resize_bilinear(
         return top_row * (1 - fy) + bot_row * fy
 
     return jax.vmap(one)(images, boxes.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def crop_resize_uint8(
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Batched view crop for the DATA.DEVICE_CROP pipeline mode.
+
+    images: [B, V, H, W, 3] uint8 full frames; boxes: [B, V, 4] square
+    bboxes (left, top, right, bottom).  Returns [B, V, out_h, out_w, 3]
+    uint8 crops — same dtype contract as the host crop path
+    (data/pipeline.py::prepare_views_host), so every downstream consumer
+    (device_prepare, Engine.forward's fused uint8 normalization) is
+    unchanged.  Rounding to uint8 costs at most the same quantization the
+    host path's PIL resize already pays.
+    """
+    B, V = images.shape[0], images.shape[1]
+    flat = images.reshape((B * V,) + images.shape[2:])
+    out = crop_and_resize_bilinear(
+        flat, boxes.reshape(B * V, 4), out_h, out_w
+    )
+    out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    return out.reshape((B, V, out_h, out_w, 3))

@@ -78,7 +78,15 @@ class ActiveLearningStrategy:
     def _rng(self, salt: int = 0) -> np.random.Generator:
         return np.random.default_rng((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
 
-    def _get_loader(self, pool, batch_size: int) -> FrameLoader:
+    def _get_loader(
+        self, pool, batch_size: int, num_workers: int | None = None
+    ) -> FrameLoader:
+        """Loader factory (reference: strategy.py:747-760).  `num_workers`
+        follows the reference's DataLoader split: TRAIN.NUM_WORKERS for
+        train/val/cluster loaders (the default), AL.INFERENCE.NUM_WORKERS
+        for scoring/eval loaders; 0 = in-process decode."""
+        if num_workers is None:
+            num_workers = self.al_cfg.TRAIN.NUM_WORKERS
         return FrameLoader(
             pool,
             self.al_cfg.DATA,
@@ -86,6 +94,7 @@ class ActiveLearningStrategy:
             batch_size=batch_size,
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
+            num_workers=num_workers,
         )
 
     def _put(self, arr, view_axis: bool = False):
@@ -116,11 +125,28 @@ class ActiveLearningStrategy:
                 )
         return jnp.asarray(arr)
 
+    def _device_images(self, batch: Dict):
+        """batch["images"] placed on device; with DATA.DEVICE_CROP the
+        loader ships full frames and the square-box crop + bilinear resize
+        runs there (ops/image.py::crop_resize_uint8) — the device arrays
+        any consumer sees are [B, V, INPUT_H, INPUT_W, 3] uint8 either way."""
+        images = self._put(batch["images"], view_axis=True)
+        if self.al_cfg.DATA.DEVICE_CROP:
+            from .ops import image as image_ops
+
+            images = image_ops.crop_resize_uint8(
+                images,
+                self._put(batch["square_box"], view_axis=True),
+                self.al_cfg.DATA.INPUT_HEIGHT,
+                self.al_cfg.DATA.INPUT_WIDTH,
+            )
+        return images
+
     def _device_batch(self, batch: Dict, train: bool, key) -> Tuple:
         """uint8 host batch -> normalized images + GT heatmaps on device."""
         d = self.al_cfg.DATA
         return device_prepare(
-            self._put(batch["images"], view_axis=True),
+            self._device_images(batch),
             self._put(batch["2d_keypoints"], view_axis=True),
             self._put(batch["sigma"]),
             key,
@@ -315,7 +341,9 @@ class ActiveLearningStrategy:
             "pred_3d_keypoints": OrderedDict(),
             "mkpe": OrderedDict(),
         }
-        loader = self._get_loader(pool, cfg.AL.INFERENCE.BATCH_SIZE)
+        loader = self._get_loader(
+            pool, cfg.AL.INFERENCE.BATCH_SIZE, cfg.AL.INFERENCE.NUM_WORKERS
+        )
         num_views = pool.get_num_view_per_frame()
         pairs = jnp.asarray(self.engine.pairs(num_views))
         key = jax.random.PRNGKey(
@@ -328,7 +356,7 @@ class ActiveLearningStrategy:
             key, skey = jax.random.split(key)
             # Raw uint8 frames: normalization is fused into the scoring
             # executable (engine.forward); no GT heatmaps are rendered.
-            images = self._put(batch["images"], view_axis=True)
+            images = self._device_images(batch)
             out = self.engine.score_step(
                 state.params,
                 state.batch_stats,
@@ -607,7 +635,7 @@ class ActiveLearningStrategy:
         preds, gts, valids = [], [], []
         pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
         for batch in val_loader:
-            images = self._put(batch["images"], view_axis=True)
+            images = self._device_images(batch)
             out = self.engine.eval_step(
                 state.params,
                 state.batch_stats,
@@ -643,7 +671,7 @@ class ActiveLearningStrategy:
 
         preds, gts = [], []
         for batch in val_loader:
-            images = self._put(batch["images"], view_axis=True)
+            images = self._device_images(batch)
             heatmaps = self.engine.forward(state.params, state.batch_stats, images)
             hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
             coords = heatmap_ops.decode_keypoints_bbox(
@@ -665,7 +693,11 @@ class ActiveLearningStrategy:
         """Reference: strategy.py:905-913."""
         val_pool.label_all()
         val_pool.resample_frames(-1, rng=self._rng(3))
-        return self._get_loader(val_pool, self.al_cfg.AL.INFERENCE.BATCH_SIZE)
+        return self._get_loader(
+            val_pool,
+            self.al_cfg.AL.INFERENCE.BATCH_SIZE,
+            self.al_cfg.AL.INFERENCE.NUM_WORKERS,
+        )
 
     def _evaluate_on_checkpoint(
         self, iteration_idx, state, checkpoint_path, val_loader

@@ -115,3 +115,38 @@ def test_remat_train_step_matches_no_remat():
         jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sb.params)
     ):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_type", ["INTEGRAL", "MSE+INTEGRAL"])
+def test_train_step_integral_loss_decreases(loss_type):
+    from multi_view_active_learning_tpu.ops import heatmap as hm_ops
+
+    cfg = _cfg()
+    cfg.TRAIN.LOSS = loss_type
+    cfg.TRAIN.OPTIM.LR = 0.002
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    rng = np.random.default_rng(3)
+    B, V, K = 2, 2, 4
+    images = jnp.asarray(rng.normal(size=(B, V, 32, 32, 3)).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(1, 7, size=(B, V, K, 2)).astype(np.float32))
+    gt = jnp.moveaxis(
+        hm_ops.render_gaussian_heatmaps(kp, 8, 8, 1.0), 2, -1
+    )  # [B, V, 8, 8, K]
+    pvjv = jnp.asarray(np.ones((B, V, K), bool))
+    fv = jnp.asarray(np.ones(B, bool))
+    losses = []
+    for _ in range(8):
+        state, metrics = engine.train_step(state, images, gt, pvjv, fv)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert not any(np.isnan(losses))
+
+
+def test_train_step_unknown_loss_raises():
+    cfg = _cfg()
+    cfg.TRAIN.LOSS = "BOGUS"
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    with pytest.raises(NotImplementedError):
+        engine.train_step(state, *_batch())

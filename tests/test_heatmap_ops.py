@@ -94,3 +94,57 @@ def test_decode_keypoints_bbox():
         heatmap.decode_keypoints_bbox(jnp.array(hm2), jnp.array(bbox[1:2]))
     )
     np.testing.assert_allclose(coords2[0, 0], [6.0, 2.0])
+
+
+def test_integral_loss_zero_at_matching_peak():
+    h = w = 16
+    kp = np.array([[[5.0, 9.0], [12.0, 3.0]]], np.float32)  # [1, K=2, 2]
+    gt = heatmap.render_gaussian_heatmaps(jnp.array(kp), h, w, 1.0)  # [1,K,h,w]
+    gt_nhwc = jnp.moveaxis(gt, 1, -1)  # [1,h,w,K]
+    # Prediction: sharp logits peaked exactly at the GT keypoints.
+    pred = 50.0 * gt_nhwc
+    loss = float(
+        heatmap.integral_regression_loss(pred, gt_nhwc, beta=1.0)
+    )
+    assert loss < 2e-2
+
+
+def test_integral_loss_monotonic_in_distance():
+    h = w = 16
+    gt_kp = jnp.array([[[8.0, 8.0]]], jnp.float32)
+    gt = jnp.moveaxis(
+        heatmap.render_gaussian_heatmaps(gt_kp, h, w, 1.0), 1, -1
+    )
+    losses = []
+    for dx in (1.0, 3.0, 6.0):
+        pred_kp = jnp.array([[[8.0 + dx, 8.0]]], jnp.float32)
+        pred = 50.0 * jnp.moveaxis(
+            heatmap.render_gaussian_heatmaps(pred_kp, h, w, 1.0), 1, -1
+        )
+        losses.append(float(heatmap.integral_regression_loss(pred, gt, beta=1.0)))
+    assert losses[0] < losses[1] < losses[2]
+    # Normalized units: dx=3 over a 16-wide map ~ 3/16.
+    assert abs(losses[1] - 3.0 / 16.0) < 0.05
+
+
+def test_integral_loss_masks_invalid_and_empty_gt():
+    h = w = 16
+    kp = np.array([[[5.0, 9.0], [200.0, 200.0]]], np.float32)  # joint 1 off-crop
+    gt = jnp.moveaxis(
+        heatmap.render_gaussian_heatmaps(jnp.array(kp), h, w, 1.0), 1, -1
+    )
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(1, h, w, 2)).astype(np.float32))
+    # Off-crop GT (empty heatmap) must not contribute even when marked valid.
+    full = heatmap.integral_regression_loss(
+        pred, gt, jnp.ones((1, 2), bool), beta=1.0
+    )
+    only0 = heatmap.integral_regression_loss(
+        pred, gt, jnp.array([[True, False]]), beta=1.0
+    )
+    np.testing.assert_allclose(float(full), float(only0), rtol=1e-6)
+    # Masking the remaining joint too -> zero loss.
+    none = heatmap.integral_regression_loss(
+        pred, gt, jnp.zeros((1, 2), bool), beta=1.0
+    )
+    assert float(none) == 0.0

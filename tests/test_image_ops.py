@@ -39,3 +39,15 @@ def test_downscale_average_close_to_mean():
     assert out.shape == (2, 8, 8, 3)
     # bilinear subsampling preserves the global mean approximately
     assert abs(out.mean() - img.mean()) < 0.05
+
+
+def test_crop_resize_uint8_identity():
+    from multi_view_active_learning_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(1, 2, 24, 24, 3), dtype=np.uint8)
+    boxes = np.tile(np.array([0.0, 0.0, 24.0, 24.0], np.float32), (1, 2, 1))
+    out = np.asarray(
+        image_ops.crop_resize_uint8(jnp.asarray(frames), jnp.asarray(boxes), 24, 24)
+    )
+    np.testing.assert_array_equal(out, frames)

@@ -287,3 +287,36 @@ def test_guid_format_matches_reference(cfg=None):
         assert guid == "1710261-0"
         frame = pool.unlabeled_data[guid]
         assert frame["pose"] == 1710261
+
+
+def test_device_crop_scoring_close_to_host_crop(tree, tmp_path):
+    """DATA.DEVICE_CROP end to end: the scoring pass over full frames with
+    on-device crop+resize produces per-frame metrics close to the host-crop
+    pipeline (same weights, same pool; only the resampling filter differs)."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    pool.resample_unlabeled_data()
+    state = strategy.new_state()
+    host_dict = strategy._compute_sal_dict(pool, state)
+
+    dc = _tiny_cfg(tree, str(tmp_path))
+    dc.EXPR_TYPE = "AL"
+    dc.AL.STRATEGY = "TRIANGULATION"
+    dc.DATA.DEVICE_CROP = True
+    strategy_dc = ActiveLearningStrategy(dc)
+    pool_dc = build_dataset(dc, "train")
+    pool_dc.resample_unlabeled_data()
+    dc_dict = strategy_dc._compute_sal_dict(pool_dc, state)
+
+    assert set(dc_dict["al_metric"]) == set(host_dict["al_metric"])
+    a = np.asarray(list(host_dict["sal_metric"].values()))
+    b = np.asarray(
+        [dc_dict["sal_metric"][g] for g in host_dict["sal_metric"]]
+    )
+    assert np.isfinite(b).all()
+    # Untrained-model heatmaps are nearly flat, so per-frame reprojection
+    # metrics are noisy — demand agreement in scale, not bitwise equality.
+    assert np.median(np.abs(a - b)) <= 0.35 * (np.median(np.abs(a)) + 1e-6)
