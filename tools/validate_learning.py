@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--num_aug", type=int, default=0)
+    parser.add_argument(
+        "--loss", default="MSE", choices=["MSE", "INTEGRAL", "MSE+INTEGRAL"],
+        help="training objective (TRAIN.LOSS)",
+    )
     parser.add_argument("--workdir", default="/tmp/mval_validate")
     args = parser.parse_args()
 
@@ -51,6 +55,7 @@ def main():
     cfg.DATA.USE_ROTATION = False
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TRAIN.LOSS = args.loss
     cfg.TRAIN.BATCH_SIZE = 4
     cfg.TRAIN.VAL_SIZE = 4
     cfg.TRAIN.OPTIM.TOTAL_STEPS = args.steps
