@@ -48,6 +48,7 @@ def main():
     cfg.POSE_ESTIMATOR.TYPE = MODEL
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.PALLAS_HEAD = os.environ.get("BENCH_PALLAS_HEAD", "0") == "1"
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
 

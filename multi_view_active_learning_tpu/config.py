@@ -273,6 +273,13 @@ class TPUConfig:
     # heatmap decode).  Falls back to pure-XLA implementations when False or
     # when the backend lacks Pallas support.
     USE_PALLAS: bool = True
+    # Run the PoseResNet deconv head through the fused Pallas kernel on the
+    # inference paths (score/eval/forward): exact phase-decomposed
+    # ConvTranspose + folded-BN + ReLU with the interleave kept in VMEM
+    # (ops/pallas/deconv.py) instead of XLA's input-dilated lowering.
+    # Requires USE_PALLAS and a Pallas-capable backend; training always
+    # uses the standard head (the kernel has no backward pass).
+    PALLAS_HEAD: bool = False
 
 
 @dataclass

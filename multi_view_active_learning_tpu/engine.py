@@ -69,6 +69,11 @@ class Engine:
         from .ops.pallas import backend_supports_pallas
 
         self.use_pallas = bool(cfg.TPU.USE_PALLAS) and backend_supports_pallas()
+        self.use_pallas_head = (
+            self.use_pallas
+            and bool(cfg.TPU.PALLAS_HEAD)
+            and cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
+        )
         self._pairs_cache: Dict[int, np.ndarray] = {}
 
     # -- state ----------------------------------------------------------------
@@ -232,9 +237,24 @@ class Engine:
             flat = (
                 flat.astype(dtype) / 255.0 - jnp.asarray(mean, dtype)
             ) / jnp.asarray(std, dtype)
-        out = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, flat, train=False
-        )
+        if self.use_pallas_head:
+            # Fused Pallas deconv head: trunk through the flax module, head
+            # through ops/pallas/deconv.py (exact, inference only).
+            from .ops.pallas import deconv as pallas_deconv
+
+            trunk = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                flat,
+                train=False,
+                skip_head=True,
+            )
+            out = pallas_deconv.apply_pose_resnet_head(
+                trunk, params, batch_stats
+            )
+        else:
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, flat, train=False
+            )
         return out.reshape((B, V) + out.shape[1:])
 
     @partial(

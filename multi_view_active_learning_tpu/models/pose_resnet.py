@@ -244,9 +244,15 @@ class PoseResNet(nn.Module):
     fast_deconv: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, skip_head: bool = False):
         """x: [N, H, W, 3] images, or [N, H/2, W/2, 12] space-to-depth'd
-        images (the TPU scoring fast path — see SpaceToDepthStem)."""
+        images (the TPU scoring fast path — see SpaceToDepthStem).
+
+        skip_head=True returns the trunk output [N, H/32, W/32, C] before
+        the deconv head — the TPU.PALLAS_HEAD inference path applies the
+        head itself via the fused Pallas kernel (ops/pallas/deconv.py,
+        engine.Engine.forward).  Only valid at apply time (init must see
+        the full module so every parameter is created)."""
         block_cls, layer_sizes = RESNET_SPEC[self.num_layers]
         x = x.astype(self.dtype)
 
@@ -275,6 +281,9 @@ class PoseResNet(nn.Module):
                     name=f"layer{stage + 1}_{i}",
                 )(x, train)
             inplanes = planes * block_cls.expansion
+
+        if skip_head:
+            return x
 
         # Deconv head: 3x (ConvTranspose 256, k4, s2) + BN + ReLU.
         for i in range(3):

@@ -74,3 +74,67 @@ def test_min_distance_kernel_multi_tile():
         coreset._min_dist_to_centers(jnp.asarray(feats), jnp.asarray(mask))
     )
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_deconv_bn_relu_matches_flax():
+    import flax.linen as nn
+    from multi_view_active_learning_tpu.ops.pallas.deconv import (
+        fold_bn,
+        fused_deconv_bn_relu,
+    )
+
+    rng = np.random.default_rng(3)
+    # Cin=640 exercises the Cin-chunk accumulation (chunk=256 -> 3 chunks,
+    # incl. zero padding of the tail chunk); N=3 exercises sample padding
+    # to the per-program group size.
+    for (N, H, W, Cin, Cout) in [(3, 4, 4, 640, 64), (2, 8, 8, 96, 64)]:
+        x = rng.normal(size=(N, H, W, Cin)).astype(np.float32)
+        k = rng.normal(scale=0.05, size=(4, 4, Cin, Cout)).astype(np.float32)
+        gamma = rng.uniform(0.5, 1.5, Cout).astype(np.float32)
+        beta = rng.normal(size=Cout).astype(np.float32)
+        mean = rng.normal(size=Cout).astype(np.float32)
+        var = rng.uniform(0.1, 2.0, Cout).astype(np.float32)
+
+        mod = nn.ConvTranspose(
+            Cout, (4, 4), strides=(2, 2), padding="SAME", use_bias=False
+        )
+        ref = mod.apply({"params": {"kernel": jnp.asarray(k)}}, jnp.asarray(x))
+        ref = (np.asarray(ref) - mean) / np.sqrt(var + 1e-5) * gamma + beta
+        ref = np.maximum(ref, 0)
+
+        scale, bias = fold_bn(
+            jnp.asarray(gamma), jnp.asarray(beta), jnp.asarray(mean),
+            jnp.asarray(var),
+        )
+        got = np.asarray(
+            fused_deconv_bn_relu(
+                jnp.asarray(x), jnp.asarray(k), scale, bias, interpret=True
+            )
+        )
+        assert got.shape == (N, 2 * H, 2 * W, Cout)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_head_matches_standard_pose_resnet_head():
+    """Full-model check: trunk + apply_pose_resnet_head == the standard
+    flax forward (the TPU.PALLAS_HEAD inference path, engine.forward)."""
+    import jax
+    from multi_view_active_learning_tpu.models.pose_resnet import PoseResNet
+    from multi_view_active_learning_tpu.ops.pallas.deconv import (
+        apply_pose_resnet_head,
+    )
+
+    model = PoseResNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    trunk = model.apply(variables, x, train=False, skip_head=True)
+    got = apply_pose_resnet_head(
+        trunk, variables["params"], variables["batch_stats"], interpret=True
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
