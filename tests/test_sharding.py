@@ -156,3 +156,39 @@ def test_shard_batch_places_arrays():
     out = parallel.shard_batch(mesh, batch, view_keys=("images",))
     assert out["guid"] == ["a"] * 8
     assert out["images"].sharding.spec[0] == "data"
+
+
+def test_sharded_triangulation_view_major_mesh():
+    """Same equivalence on a view-major ('data'=2, 'view'=4) mesh — the
+    deployment shape for rigs where cameras outnumber frames per batch
+    (e.g. 31-view Panoptic scoring on a pod slice)."""
+    from helpers import synthetic_multiview_problem
+
+    B, V, K, HM = 2, 8, 8, 64
+    heatmaps, proj, pts3d, _ = synthetic_multiview_problem(
+        B, V, K, HM, stride=4, seed=5
+    )
+    valid = np.ones((B, K), bool)
+    pairs = jnp.asarray(triangulate.all_view_pairs(V))
+
+    def run(hm_in, proj_in, valid_in):
+        out = triangulate.triangulate_frames(
+            hm_in, proj_in, valid_in, pairs, stride=4, method="power"
+        )
+        return jax.device_get(out)
+
+    ref = run(*(jnp.asarray(a) for a in (heatmaps, proj, valid)))
+    mesh = parallel.make_mesh(2, 4)
+    assert dict(mesh.shape) == {"data": 2, "view": 4}
+    sharded = run(
+        jax.device_put(heatmaps, parallel.batch_sharding(mesh, 5)),
+        jax.device_put(proj, parallel.batch_sharding(mesh, 4)),
+        jax.device_put(valid, parallel.data_sharding(mesh, 2)),
+    )
+    np.testing.assert_array_equal(ref["inlier_count"], sharded["inlier_count"])
+    np.testing.assert_allclose(ref["metric"], sharded["metric"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        ref["keypoints_3d"], sharded["keypoints_3d"], rtol=1e-3, atol=1e-2
+    )
+    err = np.linalg.norm(sharded["keypoints_3d"] - pts3d, axis=-1)
+    assert err.max() < 5.0
