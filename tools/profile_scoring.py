@@ -30,6 +30,12 @@ def main():
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--views", type=int, default=31)
+    parser.add_argument("--model", default="POSE_RESNET",
+                        choices=["POSE_RESNET", "HRNET"])
+    parser.add_argument("--mode", default="score", choices=["score", "train"],
+                        help="score = the AL scoring step (bench.py workload);"
+                             " train = the fwd+bwd optimizer step at the"
+                             " reference train config (B=2 x 8 views)")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
@@ -44,12 +50,38 @@ def main():
 
     cfg = get_default_configs()
     cfg.DATA.NUM_JOINTS = 19
+    cfg.POSE_ESTIMATOR.TYPE = args.model
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, 256, 256, 3))
 
     rng = np.random.default_rng(0)
+
+    if args.mode == "train":
+        B, V = 2, 8  # reference train config (config.py:87, 8 train cams)
+        images = jnp.asarray(
+            rng.normal(size=(B, V, 256, 256, 3)).astype(np.float32)
+        )
+        gt = jnp.asarray(
+            rng.random((B, V, 64, 64, 19)).astype(np.float32) * 0.1
+        )
+        pvjv = jnp.ones((B, V, 19), bool)
+        fv = jnp.ones((B,), bool)
+
+        def run_traced(n):
+            nonlocal state
+            for _ in range(n):
+                state, metrics = engine.train_step(state, images, gt, pvjv, fv)
+            float(jax.device_get(metrics["loss"]))
+
+        run_traced(3)  # warm up
+        t0 = time.perf_counter()
+        with profiling.trace(args.logdir):
+            run_traced(args.steps)
+        _report(args, time.perf_counter() - t0)
+        return
+
     B, V = args.batch, args.views
     images = jnp.asarray(
         rng.integers(0, 256, size=(B, V, 256, 256, 3)).astype(np.uint8)
@@ -84,8 +116,10 @@ def main():
             out = score(images + carry)
             carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
         float(np.asarray(carry))
-    wall = time.perf_counter() - t0
+    _report(args, time.perf_counter() - t0)
 
+
+def _report(args, wall: float) -> None:
     produced = sorted(
         glob.glob(os.path.join(args.logdir, "**", "*"), recursive=True)
     )
@@ -100,6 +134,48 @@ def main():
         "trace.json": any("trace.json" in p for p in produced),
     }
     print("contents:", kinds)
+    _summarize_device_events(args.logdir)
+
+
+def _summarize_device_events(logdir: str) -> None:
+    """Aggregate per-op device durations from the newest trace.json.gz."""
+    import collections
+    import gzip
+    import json
+
+    traces = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not traces:
+        return
+    with gzip.open(traces[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    names = {
+        e["pid"]: e["args"].get("name")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, n in names.items() if n and "TPU" in n}
+    cat = collections.defaultdict(lambda: [0.0, 0.0])  # dur_us, flops
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids or "args" not in e:
+            continue
+        c = e["args"].get("hlo_category")
+        if c is None:
+            continue
+        cat[c][0] += e["dur"]
+        cat[c][1] += float(e["args"].get("model_flops", 0) or 0)
+        total += e["dur"]
+    if not total:
+        return
+    print("\ndevice time by HLO category:")
+    for c, (d, f) in sorted(cat.items(), key=lambda kv: -kv[1][0]):
+        tf = f / (d * 1e-6) / 1e12 if d else 0.0
+        print("  %-28s %8.2f ms total %6.1f%%  %6.1f TFLOP/s"
+              % (c, d / 1e3, 100 * d / total, tf))
 
 
 if __name__ == "__main__":
