@@ -1,0 +1,108 @@
+"""AL selection quality: the TRIANGULATION metric must rank frames by
+actual annotation value.
+
+The reference's core claim (WACV'23 paper; scoring entry
+strategy.py:1004-1147) is that multi-view reprojection disagreement
+identifies frames whose predictions are bad — so labeling them helps most.
+These tests validate that property end-to-end through the TPU scoring
+stack (decode -> RANSAC-DLT -> reprojection metric) with controlled
+corruption: frames whose per-view 2D predictions carry more noise must
+score higher and triangulate worse, and top-k selection by the metric must
+recover the most-corrupted frames.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from helpers import make_ring_cameras, render_peak_heatmaps
+from multi_view_active_learning_tpu.ops import geometry, triangulate
+
+
+def _rank_corr(a, b):
+    """Spearman rank correlation without scipy."""
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+
+def _noisy_problem(noise_scales, num_views=8, num_joints=19, hm=64, stride=4,
+                   seed=0):
+    """Frames observed by a camera ring; frame b's per-view 2D peaks are
+    jittered with std noise_scales[b] grid cells before rendering."""
+    B = len(noise_scales)
+    rng = np.random.default_rng(seed)
+    proj = np.broadcast_to(
+        make_ring_cameras(num_views), (B, num_views, 3, 4)
+    ).astype(np.float32)
+    pts3d = rng.normal(scale=30.0, size=(B, num_joints, 3))
+    heatmaps = np.zeros((B, num_views, hm, hm, num_joints), np.float32)
+    for b in range(B):
+        kp2d = np.stack(
+            [geometry.project_points_np(proj[b, v], pts3d[b])
+             for v in range(num_views)]
+        )  # [V, K, 2]
+        grid = np.round(kp2d / stride)
+        grid = grid + np.round(
+            rng.normal(scale=noise_scales[b], size=grid.shape)
+        )
+        grid = np.clip(grid, 0, hm - 1).astype(int)
+        heatmaps[b] = render_peak_heatmaps(grid, num_views, num_joints, hm)
+    return heatmaps, proj, pts3d
+
+
+def test_triangulation_metric_ranks_frames_by_corruption():
+    noise = np.linspace(0.0, 4.0, 12)  # frame b gets noise std b/3 cells
+    heatmaps, proj, pts3d = _noisy_problem(noise)
+    B, V, K = heatmaps.shape[0], heatmaps.shape[1], heatmaps.shape[-1]
+    out = triangulate.triangulate_frames(
+        jnp.asarray(heatmaps),
+        jnp.asarray(proj),
+        jnp.ones((B, K), bool),
+        jnp.asarray(triangulate.all_view_pairs(V)),
+        stride=4,
+        method="power",
+    )
+    metric = np.asarray(out["metric"])
+    assert np.isfinite(metric).all()
+
+    # 1. The AL metric tracks the injected corruption.
+    assert _rank_corr(noise, metric) > 0.8, (noise, metric)
+
+    # 2. It also tracks the ACTUAL 3D error of the triangulated pose —
+    #    the property that makes pseudo-label filtering sound
+    #    (reference strategy.py:952-1002 keeps low-metric frames).
+    err3d = np.linalg.norm(
+        np.asarray(out["keypoints_3d"]) - pts3d, axis=-1
+    ).mean(-1)
+    assert _rank_corr(err3d, metric) > 0.8, (err3d, metric)
+
+    # 3. Top-k selection recovers the most corrupted frames.
+    top4 = set(np.argsort(metric)[-4:].tolist())
+    assert top4 == {8, 9, 10, 11}, (top4, metric)
+
+    # 4. Clean frames triangulate to the quantization floor; the most
+    #    corrupted do not.
+    assert err3d[0] < 2.0
+    assert err3d[-1] > err3d[0]
+
+
+def test_inlier_count_drops_with_corruption():
+    noise = np.array([0.0, 6.0])
+    heatmaps, proj, _ = _noisy_problem(noise, seed=3)
+    B, V, K = heatmaps.shape[0], heatmaps.shape[1], heatmaps.shape[-1]
+    out = triangulate.triangulate_frames(
+        jnp.asarray(heatmaps),
+        jnp.asarray(proj),
+        jnp.ones((B, K), bool),
+        jnp.asarray(triangulate.all_view_pairs(V)),
+        stride=4,
+        method="power",
+    )
+    inliers = np.asarray(out["inlier_count"], np.float64)
+    # The clean frame keeps (nearly) all views as RANSAC inliers; heavy
+    # corruption must cost inliers — the SAL.INLIER_THRESHOLD filter's
+    # operating principle (reference strategy.py:986-991).
+    assert inliers[0] >= V - 1
+    assert inliers[1] < inliers[0]
