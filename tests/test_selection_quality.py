@@ -106,3 +106,56 @@ def test_inlier_count_drops_with_corruption():
     # operating principle (reference strategy.py:986-991).
     assert inliers[0] >= V - 1
     assert inliers[1] < inliers[0]
+
+
+def test_uncertainty_metrics_separate_confident_from_ambiguous():
+    """Selection semantics of the uncertainty metrics on two frame groups:
+    A = single sharp peak per (view, joint), B = two equal flatter
+    competing peaks (reference strategy.py:1149-1215).
+
+    MPE (peak entropy) and HP (1 - max row-softmax prob) increase with
+    ambiguity, so nlargest selection picks group B.  BSB is the
+    best-vs-second-best MARGIN |p0 - p1| — it DECREASES with ambiguity,
+    yet the reference selects with nlargest like every other metric
+    (strategy.py:945-950), i.e. its BSB strategy prefers the most
+    CONFIDENT frames.  That direction is replicated here for parity, and
+    this test pins it so the quirk is load-bearing, not accidental."""
+    from multi_view_active_learning_tpu.ops import heatmap, uncertainty
+
+    B, V, K, hm = 6, 4, 5, 32
+    rng = np.random.default_rng(7)
+    ambiguous = np.arange(B) >= B // 2  # frames 3..5 are group B
+    maps = np.zeros((B, V, hm, hm, K), np.float32)
+    for b in range(B):
+        for v in range(V):
+            for k in range(K):
+                p1 = rng.integers(4, hm - 4, size=2).astype(np.float32)
+                g1 = np.asarray(
+                    heatmap.render_gaussian_heatmaps(jnp.asarray(p1), hm, hm, 1.5)
+                )
+                if not ambiguous[b]:
+                    maps[b, v, :, :, k] = g1  # sharp, single peak
+                else:
+                    p2 = (p1 + hm // 2) % hm
+                    g2 = np.asarray(
+                        heatmap.render_gaussian_heatmaps(
+                            jnp.asarray(p2), hm, hm, 1.5
+                        )
+                    )
+                    maps[b, v, :, :, k] = 0.5 * g1 + 0.5 * g2
+    valid = jnp.ones((B, K), bool)
+    hm_j = jnp.asarray(maps)
+
+    mpe = np.asarray(uncertainty.multi_peak_entropy(hm_j, valid, "AVG"))
+    bsb = np.asarray(uncertainty.best_vs_second_best(hm_j, valid, "AVG"))
+    hp = np.asarray(uncertainty.highest_probability(hm_j, valid, "AVG"))
+
+    grp_b = set(np.nonzero(ambiguous)[0].tolist())
+    # MPE / HP: ambiguous frames score strictly higher; top-3 == group B.
+    for name, m in [("MPE", mpe), ("HP", hp)]:
+        assert m[ambiguous].min() > m[~ambiguous].max(), (name, m)
+        assert set(np.argsort(m)[-3:].tolist()) == grp_b, (name, m)
+    # BSB margin: ambiguous frames score strictly LOWER — the reference's
+    # nlargest selection therefore picks the confident group.
+    assert bsb[ambiguous].max() < bsb[~ambiguous].min(), bsb
+    assert set(np.argsort(bsb)[-3:].tolist()) == {0, 1, 2}, bsb
