@@ -49,6 +49,7 @@ def main():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PALLAS_HEAD = os.environ.get("BENCH_PALLAS_HEAD", "0") == "1"
+    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "0") == "1"
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
 
@@ -69,10 +70,13 @@ def main():
     pairs = jnp.asarray(triangulate.all_view_pairs(NUM_VIEWS))
     key = jax.random.PRNGKey(1)
 
+    # Static activation scales for int8 scoring (None when BENCH_INT8 off).
+    int8_scales = engine.int8_calibrate(state.params, state.batch_stats, images)
+
     def score(images_in):
         return engine.score_step(
             state.params, state.batch_stats, images_in, proj, valid, pairs, gt,
-            key, al_strategy="TRIANGULATION",
+            key, al_strategy="TRIANGULATION", int8_scales=int8_scales,
         )
 
     # Warm up: compile, then run a few chained steps so the backend's

@@ -273,6 +273,15 @@ class TPUConfig:
     # heatmap decode).  Falls back to pure-XLA implementations when False or
     # when the backend lacks Pallas support.
     USE_PALLAS: bool = True
+    # Int8 quantized scoring/eval inference (PoseResNet only): backbone
+    # convs run s8xs8->s32 on the MXU (2x bf16 peak; measured 1.66x on a
+    # conv-chain probe) with dynamic per-tensor activation scales,
+    # per-output-channel weight scales, and BN folded into the
+    # requantization epilogue (models/quantize.py).  Training and the
+    # deconv head stay float.  Off by default: bit-parity with the
+    # reference's float scoring is the default contract; flip it on for
+    # throughput-critical pool sweeps.
+    INT8_SCORING: bool = False
     # Run the PoseResNet deconv head through the fused Pallas kernel on the
     # inference paths (score/eval/forward): exact phase-decomposed
     # ConvTranspose + folded-BN + ReLU with the interleave kept in VMEM

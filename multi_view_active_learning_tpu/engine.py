@@ -197,16 +197,10 @@ class Engine:
         }
         return state, metrics
 
-    @partial(jax.jit, static_argnames=("self",))
-    def forward(self, params, batch_stats, images) -> jnp.ndarray:
-        """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K].
-
-        uint8 inputs are raw pixels: ImageNet normalization happens here in
-        the compute dtype, fused into the same executable as the convs (no
-        separately materialized float32 image array — a 4x HBM/transfer
-        saving for scoring and eval, which never need GT heatmaps or
-        augmentation).  float inputs are assumed pre-normalized
-        (the training path, where RandAugment runs first)."""
+    def _flatten_normalize(self, images):
+        """[B, V, H, W, 3] -> normalized [B*V, H', W', C'] in compute dtype
+        (uint8 inputs get the fused ImageNet normalization; float inputs
+        are assumed pre-normalized)."""
         B, V = images.shape[0], images.shape[1]
         flat = images.reshape((B * V,) + images.shape[2:])
         if flat.dtype == jnp.uint8:
@@ -222,6 +216,7 @@ class Engine:
             std = np.asarray(geometry.IMAGENET_STD)
             if (
                 self.cfg.TPU.SPACE_TO_DEPTH_STEM
+                and not self.cfg.TPU.INT8_SCORING
                 and self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
                 and flat.shape[1] % 2 == 0
                 and flat.shape[2] % 2 == 0
@@ -237,7 +232,59 @@ class Engine:
             flat = (
                 flat.astype(dtype) / 255.0 - jnp.asarray(mean, dtype)
             ) / jnp.asarray(std, dtype)
-        if self.use_pallas_head:
+        return flat
+
+    @property
+    def use_int8(self) -> bool:
+        return (
+            bool(self.cfg.TPU.INT8_SCORING)
+            and self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _int8_calibrate_step(self, params, batch_stats, images):
+        from .models import quantize
+
+        flat = self._flatten_normalize(images)
+        _, scales = quantize.quantized_pose_resnet_forward(
+            params, batch_stats, flat, self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
+            collect_scales=True,
+        )
+        return scales
+
+    def int8_calibrate(self, params, batch_stats, images):
+        """One-batch activation-scale calibration for static int8 scoring
+        (models/quantize.py).  Returns the scale table to pass back into
+        forward/score_step/eval_step as `int8_scales`, or None when int8
+        scoring is off — callers can pass the result through unconditionally."""
+        if not self.use_int8:
+            return None
+        return self._int8_calibrate_step(params, batch_stats, images)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def forward(self, params, batch_stats, images, int8_scales=None) -> jnp.ndarray:
+        """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K].
+
+        uint8 inputs are raw pixels: ImageNet normalization happens here in
+        the compute dtype, fused into the same executable as the convs (no
+        separately materialized float32 image array — a 4x HBM/transfer
+        saving for scoring and eval, which never need GT heatmaps or
+        augmentation).  float inputs are assumed pre-normalized
+        (the training path, where RandAugment runs first).
+
+        `int8_scales`: static activation-scale table from int8_calibrate
+        (TPU.INT8_SCORING only; None falls back to dynamic scales)."""
+        B, V = images.shape[0], images.shape[1]
+        flat = self._flatten_normalize(images)
+        if self.use_int8:
+            from .models import quantize
+
+            out = quantize.quantized_pose_resnet_forward(
+                params, batch_stats, flat,
+                self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
+                act_scales=int8_scales,
+            )
+        elif self.use_pallas_head:
             # Fused Pallas deconv head: trunk through the flax module, head
             # through ops/pallas/deconv.py (exact, inference only).
             from .ops.pallas import deconv as pallas_deconv
@@ -276,6 +323,7 @@ class Engine:
         mpe_aggregate: str = "AVG",
         hp_aggregate: str = "AVG",
         bsb_aggregate: str = "AVG",
+        int8_scales=None,
     ) -> Dict[str, jnp.ndarray]:
         """Unlabeled-pool scoring: forward + triangulation + AL metric for a
         whole batch in one compiled call (replaces strategy.py:1004-1147).
@@ -283,7 +331,7 @@ class Engine:
         Returns per-frame arrays: keypoints_3d [B, K, 3], sal_metric [B],
         inlier_count [B], al_metric [B], mkpe [B].
         """
-        heatmaps = self.forward(params, batch_stats, images)
+        heatmaps = self.forward(params, batch_stats, images, int8_scales)
         res = tri.triangulate_frames(
             heatmaps,
             proj_matrices,
@@ -338,11 +386,12 @@ class Engine:
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(
-        self, params, batch_stats, images, proj_matrices, joint_valid, pairs
+        self, params, batch_stats, images, proj_matrices, joint_valid, pairs,
+        int8_scales=None,
     ) -> Dict[str, jnp.ndarray]:
         """Validation triangulation (replaces strategy.py:584-634's
         per-sample loop + all_gathers)."""
-        heatmaps = self.forward(params, batch_stats, images)
+        heatmaps = self.forward(params, batch_stats, images, int8_scales)
         res = tri.triangulate_frames(
             heatmaps,
             proj_matrices,

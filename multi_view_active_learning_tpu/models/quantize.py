@@ -1,0 +1,236 @@
+"""Int8 quantized PoseResNet inference for the scoring/eval path.
+
+The AL scoring pass consumes a *ranking* of frames, not raw activations —
+it tolerates quantization noise that would matter for training.  On TPU
+v5e the MXU's s8 x s8 -> s32 path has 2x the bf16 peak; a 12-layer conv
+chain probe measured 1.66x end-to-end including requantization
+(BENCH_NOTES.md round-2 int8 section), so the whole backbone runs int8
+here:
+
+  * weights: symmetric per-output-channel int8, computed in-graph from
+    the f32 params (cheap: one pass over ~25M weights; keeping it inside
+    the jitted step avoids any cache/staleness machinery);
+  * activations: symmetric per-tensor int8.  Scales are either *dynamic*
+    (max|x| / 127 per conv input, no calibration — but the data-dependent
+    reduction serializes against the conv and costs ~10% end-to-end) or
+    *static*: calibrated once per scoring sweep on the first batch
+    (`collect_scales=True`), then passed back in (`act_scales=...`) so
+    each quantize is a pure fused elementwise op.  Static scales measure
+    276 vs 224 fps on the north-star bench (BENCH_NOTES.md);
+  * BatchNorm: folded into the requantization multiplier, so each conv +
+    BN (+ ReLU) is one int8 conv and one fused elementwise epilogue;
+  * residual adds and the maxpool run in bf16 between blocks;
+  * the deconv head and final 1x1 stay bf16/f32 (transposed conv lowers
+    via input dilation, where the int8 MXU path does not apply — and the
+    head is already at 77-87% MFU, BENCH_NOTES trace anatomy).
+
+Enable with ``TPU.INT8_SCORING`` (engine.Engine.forward); training always
+uses the standard float path.  Selection quality under int8 is pinned by
+tests/test_selection_quality.py::test_int8_scoring_preserves_ranking.
+
+Reference contract: pose_estimators/pose_resnet.py:17-231 (topology);
+this module mirrors models/pose_resnet.py's parameter tree exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .pose_resnet import RESNET_SPEC, BasicBlock
+
+_DN = ("NHWC", "HWIO", "NHWC")
+_BN_EPS = 1e-5
+
+
+def _quant_weight(w: jnp.ndarray):
+    """[kh, kw, ci, co] float -> (int8 weights, per-co float scale)."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    ws = jnp.maximum(amax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
+
+
+class _ActScales:
+    """Per-tensor activation scales: dynamic, static, or collecting.
+
+    `scale_for(name, x)` returns the quantization scale for conv input
+    `x`; with a static table it is a table lookup (pure elementwise
+    epilogue downstream), otherwise max|x|/127 (recorded when
+    collecting)."""
+
+    def __init__(self, table=None, collect: bool = False):
+        self.table = table
+        self.collect = collect
+        self.recorded = {}
+
+    def scale_for(self, name: str, x: jnp.ndarray):
+        if self.table is not None:
+            return self.table[name]
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        if self.collect:
+            self.recorded[name] = sx
+        return sx
+
+
+def _quant_act(x: jnp.ndarray, sx):
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    return xq.astype(jnp.int8)
+
+
+def _bn_fold(params, stats):
+    scale = params["scale"] / jnp.sqrt(stats["var"] + _BN_EPS)
+    return scale, params["bias"] - stats["mean"] * scale
+
+
+def _qconv_bn(
+    x, conv_params, bn_params, bn_stats, scales, name,
+    strides=(1, 1), padding=None, relu=True,
+):
+    """int8 conv + folded BN (+ ReLU), returning bf16."""
+    w = conv_params["kernel"]
+    kh = w.shape[0]
+    if padding is None:
+        padding = [(kh // 2, kh // 2)] * 2 if kh > 1 else [(0, 0)] * 2
+    wq, ws = _quant_weight(w)
+    sx = scales.scale_for(name, x)
+    xq = _quant_act(x, sx)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    bscale, bbias = _bn_fold(bn_params, bn_stats)
+    y = y.astype(jnp.float32) * (sx * ws * bscale) + bbias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(jnp.bfloat16)
+
+
+def _basic_block(x, p, s, scales, prefix, strides, downsample):
+    out = _qconv_bn(
+        x, p["conv1"], p["bn1"], s["bn1"], scales, prefix + "/conv1",
+        (strides, strides),
+    )
+    out = _qconv_bn(
+        out, p["conv2"], p["bn2"], s["bn2"], scales, prefix + "/conv2",
+        relu=False,
+    )
+    if downsample:
+        residual = _qconv_bn(
+            x, p["downsample_conv"], p["downsample_bn"], s["downsample_bn"],
+            scales, prefix + "/down", (strides, strides), relu=False,
+        )
+    else:
+        residual = x
+    return jnp.maximum(
+        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
+    ).astype(jnp.bfloat16)
+
+
+def _bottleneck_block(x, p, s, scales, prefix, strides, downsample):
+    out = _qconv_bn(
+        x, p["conv1"], p["bn1"], s["bn1"], scales, prefix + "/conv1"
+    )
+    out = _qconv_bn(
+        out, p["conv2"], p["bn2"], s["bn2"], scales, prefix + "/conv2",
+        (strides, strides),
+    )
+    out = _qconv_bn(
+        out, p["conv3"], p["bn3"], s["bn3"], scales, prefix + "/conv3",
+        relu=False,
+    )
+    if downsample:
+        residual = _qconv_bn(
+            x, p["downsample_conv"], p["downsample_bn"], s["downsample_bn"],
+            scales, prefix + "/down", (strides, strides), relu=False,
+        )
+    else:
+        residual = x
+    return jnp.maximum(
+        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
+    ).astype(jnp.bfloat16)
+
+
+def quantized_pose_resnet_forward(
+    params, batch_stats, images, num_layers: int,
+    act_scales=None, collect_scales: bool = False,
+):
+    """Int8 inference forward: images [N, H, W, 3] float (normalized) ->
+    heatmaps [N, H/4, W/4, K] float32.
+
+    Mirrors models/pose_resnet.py::PoseResNet.__call__(train=False) with
+    the backbone convs in int8.  The deconv head runs bf16 (see module
+    docstring).  `act_scales`: static per-tensor scale table (the dict a
+    `collect_scales=True` call returns); with `collect_scales=True` the
+    return value is `(heatmaps, scales_dict)` for calibration."""
+    block_cls, layer_sizes = RESNET_SPEC[num_layers]
+    scales = _ActScales(act_scales, collect_scales)
+    x = images.astype(jnp.bfloat16)
+
+    # Stem (plain 7x7/s2 path; int8 scoring is independent of the
+    # space-to-depth option).
+    wq, ws = _quant_weight(params["conv1"]["kernel"])
+    sx = scales.scale_for("stem", x)
+    xq = _quant_act(x, sx)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (2, 2), [(3, 3), (3, 3)], dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    bscale, bbias = _bn_fold(params["bn1"], batch_stats["bn1"])
+    x = jnp.maximum(y.astype(jnp.float32) * (sx * ws * bscale) + bbias, 0.0)
+    x = x.astype(jnp.bfloat16)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+    block_fn = _basic_block if block_cls is BasicBlock else _bottleneck_block
+    expansion = 1 if block_cls is BasicBlock else 4
+    inplanes = 64
+    for stage, (planes, blocks) in enumerate(
+        zip((64, 128, 256, 512), layer_sizes)
+    ):
+        strides = 1 if stage == 0 else 2
+        for i in range(blocks):
+            needs_down = i == 0 and (
+                strides != 1 or inplanes != planes * expansion
+            )
+            name = f"layer{stage + 1}_{i}"
+            x = block_fn(
+                x,
+                params[name],
+                batch_stats[name],
+                scales,
+                name,
+                strides if i == 0 else 1,
+                needs_down,
+            )
+        inplanes = planes * expansion
+
+    # Head in bf16: ConvTranspose + folded BN + ReLU, exactly the standard
+    # inference math.
+    for i in range(3):
+        x = jax.lax.conv_transpose(
+            x,
+            params[f"deconv{i}"]["kernel"].astype(jnp.bfloat16),
+            (2, 2),
+            "SAME",
+            dimension_numbers=_DN,
+        )
+        bscale, bbias = _bn_fold(
+            params[f"deconv_bn{i}"], batch_stats[f"deconv_bn{i}"]
+        )
+        x = jnp.maximum(x.astype(jnp.float32) * bscale + bbias, 0.0)
+        x = x.astype(jnp.bfloat16)
+
+    fl = params["final_layer"]
+    x = x.astype(jnp.float32)
+    out = (
+        jnp.einsum("nhwc,ck->nhwk", x, fl["kernel"][0, 0].astype(jnp.float32))
+        + fl["bias"].astype(jnp.float32)
+    )
+    if collect_scales:
+        return out, scales.recorded
+    return out

@@ -352,11 +352,18 @@ class ActiveLearningStrategy:
         t0 = time.time()
         n_frames = 0
         pending = []
+        int8_scales = None
         for batch in loader:
             key, skey = jax.random.split(key)
             # Raw uint8 frames: normalization is fused into the scoring
             # executable (engine.forward); no GT heatmaps are rendered.
             images = self._device_images(batch)
+            if int8_scales is None:
+                # One-batch activation calibration for static int8 scoring
+                # (None when TPU.INT8_SCORING is off).
+                int8_scales = self.engine.int8_calibrate(
+                    state.params, state.batch_stats, images
+                )
             out = self.engine.score_step(
                 state.params,
                 state.batch_stats,
@@ -370,6 +377,7 @@ class ActiveLearningStrategy:
                 mpe_aggregate=cfg.AL.MPE_CONFIG,
                 hp_aggregate=cfg.AL.HP_CONFIG,
                 bsb_aggregate=cfg.AL.BSB_CONFIG,
+                int8_scales=int8_scales,
             )
             # Keep device references; fetch once after the loop so the host
             # never stalls the device between batches (outputs are tiny:
@@ -634,8 +642,13 @@ class ActiveLearningStrategy:
         (reference: strategy.py:584-649)."""
         preds, gts, valids = [], [], []
         pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
+        int8_scales = None
         for batch in val_loader:
             images = self._device_images(batch)
+            if int8_scales is None:
+                int8_scales = self.engine.int8_calibrate(
+                    state.params, state.batch_stats, images
+                )
             out = self.engine.eval_step(
                 state.params,
                 state.batch_stats,
@@ -643,6 +656,7 @@ class ActiveLearningStrategy:
                 self._put(batch["proj_matrices"], view_axis=True),
                 self._put(batch["joint_valid"]),
                 pairs,
+                int8_scales=int8_scales,
             )
             kp3d = np.asarray(out["keypoints_3d"])
             mask = np.asarray(batch["frame_valid"])
@@ -670,9 +684,16 @@ class ActiveLearningStrategy:
         from .ops import heatmap as heatmap_ops
 
         preds, gts = [], []
+        int8_scales = None
         for batch in val_loader:
             images = self._device_images(batch)
-            heatmaps = self.engine.forward(state.params, state.batch_stats, images)
+            if int8_scales is None:
+                int8_scales = self.engine.int8_calibrate(
+                    state.params, state.batch_stats, images
+                )
+            heatmaps = self.engine.forward(
+                state.params, state.batch_stats, images, int8_scales
+            )
             hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
             coords = heatmap_ops.decode_keypoints_bbox(
                 hm_vk, jnp.asarray(batch["square_box"])  # [B, V, 4]

@@ -1,0 +1,128 @@
+"""Int8 quantized scoring path (models/quantize.py, TPU.INT8_SCORING)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_view_active_learning_tpu.config import get_default_configs
+from multi_view_active_learning_tpu.models.pose_resnet import PoseResNet
+from multi_view_active_learning_tpu.models.quantize import (
+    quantized_pose_resnet_forward,
+)
+
+
+@pytest.mark.parametrize("layers", [18, 50])
+def test_quantized_forward_close_to_float(layers):
+    """Untrained random weights are the quantization worst case (no
+    learned structure); the int8 forward must still track the float one
+    closely enough that decode ranks survive."""
+    model = PoseResNet(num_joints=7, num_layers=layers, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(
+        quantized_pose_resnet_forward(
+            variables["params"], variables["batch_stats"], x, layers
+        )
+    )
+    assert got.shape == ref.shape
+    a, b = ref.ravel(), got.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+    # Per-map argmax decode agreement: the quantity AL scoring consumes.
+    B, h, w, K = ref.shape
+    ref_pk = ref.reshape(B, h * w, K).argmax(1)
+    got_pk = got.reshape(B, h * w, K).argmax(1)
+    agree = float((ref_pk == got_pk).mean())
+    assert agree > 0.8, agree
+
+
+@pytest.mark.heavy
+def test_int8_engine_scoring_preserves_ranking():
+    """Engine-level: score_step with TPU.INT8_SCORING ranks frames like
+    the float path on the controlled-corruption problem (the selection
+    contract, not bitwise heatmaps)."""
+    from multi_view_active_learning_tpu.engine import Engine
+    from multi_view_active_learning_tpu.ops import triangulate
+
+    def _cfg(int8):
+        cfg = get_default_configs()
+        cfg.DATA.NUM_JOINTS = 4
+        cfg.DATA.INPUT_WIDTH = 32
+        cfg.DATA.INPUT_HEIGHT = 32
+        cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.INT8_SCORING = int8
+        return cfg
+
+    B, V, K = 6, 4, 4
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(B, V, 32, 32, 3)).astype(np.uint8)
+    )
+    proj = jnp.asarray(
+        np.tile(
+            np.array(
+                [[300.0, 0, 16, 10], [0, 300.0, 16, 10], [0, 0, 1, 300.0]],
+                np.float32,
+            ),
+            (B, V, 1, 1),
+        )
+    )
+    valid = jnp.ones((B, K), bool)
+    gt = jnp.asarray(rng.normal(size=(B, K, 3)).astype(np.float32))
+    pairs = jnp.asarray(triangulate.all_view_pairs(V))
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    state = None
+    for int8 in (False, True):
+        engine = Engine(_cfg(int8))
+        if state is None:
+            state = engine.init_state(
+                jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3)
+            )
+        outs[int8] = jax.device_get(
+            engine.score_step(
+                state.params, state.batch_stats, images, proj, valid,
+                pairs, gt, key, al_strategy="TRIANGULATION",
+            )
+        )
+    f32, i8 = outs[False], outs[True]
+    assert np.isfinite(i8["al_metric"]).all()
+    # Triangulated poses land in the same place (untrained-net decode can
+    # move borderline peaks; bulk agreement is the requirement).
+    d = np.linalg.norm(f32["keypoints_3d"] - i8["keypoints_3d"], axis=-1)
+    assert np.median(d) < 2.0, d
+
+
+def test_static_calibrated_scales_match_dynamic():
+    """collect_scales -> act_scales round trip: the static-scale forward
+    (the fast path the scoring sweep uses) must match the dynamic-scale
+    forward exactly on the calibration batch, and stay close on other
+    batches drawn from the same distribution."""
+    model = PoseResNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x_cal = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    x_new = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x_cal, train=False)
+    p, s = variables["params"], variables["batch_stats"]
+
+    dyn_cal, scales = quantized_pose_resnet_forward(
+        p, s, x_cal, 18, collect_scales=True
+    )
+    assert len(scales) > 8  # stem + every block conv recorded
+    stat_cal = quantized_pose_resnet_forward(p, s, x_cal, 18, act_scales=scales)
+    np.testing.assert_allclose(
+        np.asarray(stat_cal), np.asarray(dyn_cal), rtol=1e-5, atol=1e-7
+    )
+
+    ref_new = np.asarray(model.apply(variables, x_new, train=False))
+    stat_new = np.asarray(
+        quantized_pose_resnet_forward(p, s, x_new, 18, act_scales=scales)
+    )
+    a, b = ref_new.ravel(), stat_new.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.98, cos
