@@ -273,7 +273,7 @@ class TPUConfig:
     # heatmap decode).  Falls back to pure-XLA implementations when False or
     # when the backend lacks Pallas support.
     USE_PALLAS: bool = True
-    # Int8 quantized scoring/eval inference (PoseResNet only): backbone
+    # Int8 quantized scoring/eval inference (PoseResNet + HRNet): backbone
     # convs run s8xs8->s32 on the MXU (2x bf16 peak; measured 1.66x on a
     # conv-chain probe) with dynamic per-tensor activation scales,
     # per-output-channel weight scales, and BN folded into the

@@ -236,19 +236,32 @@ class Engine:
 
     @property
     def use_int8(self) -> bool:
-        return (
-            bool(self.cfg.TPU.INT8_SCORING)
-            and self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
+        return bool(self.cfg.TPU.INT8_SCORING) and self.cfg.POSE_ESTIMATOR.TYPE in (
+            "POSE_RESNET",
+            "HRNET",
+        )
+
+    def _int8_forward(self, params, batch_stats, flat, act_scales=None,
+                      collect_scales=False):
+        from .models import quantize
+
+        if self.cfg.POSE_ESTIMATOR.TYPE == "HRNET":
+            hr = self.model  # PoseHighResolutionNet
+            return quantize.quantized_hrnet_forward(
+                params, batch_stats, flat,
+                hr.stage2, hr.stage3, hr.stage4, hr.final_conv_kernel,
+                act_scales=act_scales, collect_scales=collect_scales,
+            )
+        return quantize.quantized_pose_resnet_forward(
+            params, batch_stats, flat, self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
+            act_scales=act_scales, collect_scales=collect_scales,
         )
 
     @partial(jax.jit, static_argnames=("self",))
     def _int8_calibrate_step(self, params, batch_stats, images):
-        from .models import quantize
-
         flat = self._flatten_normalize(images)
-        _, scales = quantize.quantized_pose_resnet_forward(
-            params, batch_stats, flat, self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
-            collect_scales=True,
+        _, scales = self._int8_forward(
+            params, batch_stats, flat, collect_scales=True
         )
         return scales
 
@@ -277,12 +290,8 @@ class Engine:
         B, V = images.shape[0], images.shape[1]
         flat = self._flatten_normalize(images)
         if self.use_int8:
-            from .models import quantize
-
-            out = quantize.quantized_pose_resnet_forward(
-                params, batch_stats, flat,
-                self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
-                act_scales=int8_scales,
+            out = self._int8_forward(
+                params, batch_stats, flat, act_scales=int8_scales
             )
         elif self.use_pallas_head:
             # Fused Pallas deconv head: trunk through the flax module, head

@@ -234,3 +234,149 @@ def quantized_pose_resnet_forward(
     if collect_scales:
         return out, scales.recorded
     return out
+
+
+def _nearest_upsample(x, factor: int):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, factor, w, factor, c)
+    )
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+def quantized_hrnet_forward(
+    params, batch_stats, images,
+    stage2, stage3, stage4, final_conv_kernel: int = 1,
+    act_scales=None, collect_scales: bool = False,
+):
+    """Int8 inference forward for HRNet (models/hrnet.py topology, NHWC).
+
+    Same quantization scheme as the PoseResNet path: int8 convs with
+    folded BN, bf16 between ops, exchange-unit sums in f32, float final
+    conv.  Stage tuples use the PoseHighResolutionNet encoding
+    (num_modules, num_branches, block, num_blocks, num_channels)."""
+    scales = _ActScales(act_scales, collect_scales)
+    x = images.astype(jnp.bfloat16)
+
+    # Stem: two stride-2 3x3 convs + BN + ReLU.
+    for i in (1, 2):
+        x = _qconv_bn(
+            x, params[f"conv{i}"], params[f"bn{i}"], batch_stats[f"bn{i}"],
+            scales, f"stem{i}", (2, 2),
+        )
+
+    # layer1: 4x Bottleneck(64).
+    for i in range(4):
+        name = f"layer1_{i}"
+        x = _bottleneck_block(
+            x, params[name], batch_stats[name], scales, name, 1, i == 0
+        )
+
+    def branch_blocks(xs, block, num_blocks, inchannels, out_channels,
+                      num_channels, mname):
+        blk = _basic_block if block == "BASIC" else _bottleneck_block
+        ys = []
+        for b in range(len(xs)):
+            y = xs[b]
+            for i in range(num_blocks[b]):
+                needs_down = i == 0 and inchannels[b] != out_channels[b]
+                bn = f"{mname}/branch{b}_block{i}"
+                sub = params[mname][f"branch{b}_block{i}"]
+                ssub = batch_stats[mname][f"branch{b}_block{i}"]
+                y = blk(y, sub, ssub, scales, bn, 1, needs_down)
+            ys.append(y)
+        return ys
+
+    def exchange(ys, out_channels, num_out, mname):
+        fused = []
+        for i in range(num_out):
+            acc = None
+            for j in range(len(ys)):
+                if j == i:
+                    y = ys[j]
+                elif j > i:
+                    y = _qconv_bn(
+                        ys[j],
+                        params[mname][f"fuse{i}_{j}_conv"],
+                        params[mname][f"fuse{i}_{j}_bn"],
+                        batch_stats[mname][f"fuse{i}_{j}_bn"],
+                        scales, f"{mname}/fuse{i}_{j}", relu=False,
+                    )
+                    y = _nearest_upsample(y, 2 ** (j - i))
+                else:
+                    y = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        y = _qconv_bn(
+                            y,
+                            params[mname][f"fuse{i}_{j}_conv{k}"],
+                            params[mname][f"fuse{i}_{j}_bn{k}"],
+                            batch_stats[mname][f"fuse{i}_{j}_bn{k}"],
+                            scales, f"{mname}/fuse{i}_{j}_{k}", (2, 2),
+                            relu=not last,
+                        )
+                acc = (
+                    y.astype(jnp.float32)
+                    if acc is None
+                    else acc + y.astype(jnp.float32)
+                )
+            fused.append(jnp.maximum(acc, 0.0).astype(jnp.bfloat16))
+        return fused
+
+    prev_channels = [256]
+    ys = [x]
+    for stage_idx, stage_cfg in ((2, stage2), (3, stage3), (4, stage4)):
+        num_modules, num_branches, block, num_blocks, num_channels = stage_cfg
+        expansion = 1 if block == "BASIC" else 4
+        cur_channels = [c * expansion for c in num_channels]
+
+        xs = []
+        for i in range(num_branches):
+            if i < len(prev_channels):
+                y = ys[i]
+                if cur_channels[i] != prev_channels[i]:
+                    tn = f"transition{stage_idx - 1}_{i}"
+                    y = _qconv_bn(
+                        y, params[f"{tn}_conv"], params[f"{tn}_bn"],
+                        batch_stats[f"{tn}_bn"], scales, tn,
+                    )
+                xs.append(y)
+            else:
+                y = ys[-1]
+                for j in range(i + 1 - len(prev_channels)):
+                    tn = f"transition{stage_idx - 1}_{i}"
+                    y = _qconv_bn(
+                        y, params[f"{tn}_conv{j}"], params[f"{tn}_bn{j}"],
+                        batch_stats[f"{tn}_bn{j}"], scales, f"{tn}_{j}",
+                        (2, 2),
+                    )
+                xs.append(y)
+
+        inchannels = list(cur_channels)
+        for m in range(num_modules):
+            multi_scale = not (stage_idx == 4 and m == num_modules - 1)
+            mname = f"stage{stage_idx}_module{m}"
+            xs = branch_blocks(
+                xs, block, num_blocks, inchannels,
+                [c * expansion for c in num_channels], num_channels, mname,
+            )
+            if num_branches > 1:
+                num_out = num_branches if multi_scale else 1
+                xs = exchange(
+                    xs, [c * expansion for c in num_channels], num_out, mname
+                )
+            inchannels = [c * expansion for c in num_channels]
+        ys = xs
+        prev_channels = inchannels
+
+    fl = params["final_layer"]
+    x = ys[0].astype(jnp.float32)
+    k = final_conv_kernel
+    out = jax.lax.conv_general_dilated(
+        x, fl["kernel"].astype(jnp.float32), (1, 1),
+        [(1, 1), (1, 1)] if k == 3 else [(0, 0), (0, 0)],
+        dimension_numbers=_DN,
+    ) + fl["bias"].astype(jnp.float32)
+    if collect_scales:
+        return out, scales.recorded
+    return out

@@ -126,3 +126,37 @@ def test_static_calibrated_scales_match_dynamic():
     a, b = ref_new.ravel(), stat_new.ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.98, cos
+
+
+def test_quantized_hrnet_forward_close_to_float():
+    from multi_view_active_learning_tpu.models.hrnet import (
+        PoseHighResolutionNet,
+    )
+    from multi_view_active_learning_tpu.models.quantize import (
+        quantized_hrnet_forward,
+    )
+
+    model = PoseHighResolutionNet(num_joints=7, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got, scales = quantized_hrnet_forward(
+        variables["params"], variables["batch_stats"], x,
+        model.stage2, model.stage3, model.stage4, model.final_conv_kernel,
+        collect_scales=True,
+    )
+    got = np.asarray(got)
+    assert got.shape == ref.shape
+    a, b = ref.ravel(), got.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+    # Static table reproduces the dynamic path on the calibration batch.
+    stat = np.asarray(
+        quantized_hrnet_forward(
+            variables["params"], variables["batch_stats"], x,
+            model.stage2, model.stage3, model.stage4,
+            model.final_conv_kernel, act_scales=scales,
+        )
+    )
+    np.testing.assert_allclose(stat, got, rtol=1e-5, atol=1e-7)
