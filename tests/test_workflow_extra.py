@@ -320,3 +320,31 @@ def test_device_crop_scoring_close_to_host_crop(tree, tmp_path):
     # Untrained-model heatmaps are nearly flat, so per-frame reprojection
     # metrics are noisy — demand agreement in scale, not bitwise equality.
     assert np.median(np.abs(a - b)) <= 0.35 * (np.median(np.abs(a)) + 1e-6)
+
+
+def test_int8_scoring_product_path(tree, tmp_path):
+    """TPU.INT8_SCORING through the product AL entry point: the scoring
+    sweep calibrates on its first batch and scores every frame finite;
+    agreement with the float path on the pool's top pick."""
+    base = _tiny_cfg(tree, str(tmp_path))
+    base.EXPR_TYPE = "AL"
+    base.AL.STRATEGY = "TRIANGULATION"
+
+    dicts = {}
+    state = None
+    for int8 in (False, True):
+        cfg = base.clone()
+        cfg.TPU.INT8_SCORING = int8
+        strategy = ActiveLearningStrategy(cfg)
+        pool = build_dataset(cfg, "train")
+        pool.resample_unlabeled_data()
+        if state is None:
+            state = strategy.new_state()
+        dicts[int8] = strategy._compute_sal_dict(pool, state)
+    f32, i8 = dicts[False], dicts[True]
+    assert set(i8["al_metric"]) == set(f32["al_metric"])
+    vals = np.asarray(list(i8["al_metric"].values()))
+    assert np.isfinite(vals).all()
+    top_f32 = max(f32["al_metric"], key=f32["al_metric"].get)
+    top_i8 = max(i8["al_metric"], key=i8["al_metric"].get)
+    assert top_f32 == top_i8, (f32["al_metric"], i8["al_metric"])
