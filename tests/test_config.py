@@ -85,7 +85,8 @@ def test_dump_roundtrip(tmp_path):
 
 def test_shipped_sample_configs_parse():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for name in ("sample-config.yaml", "synthetic-smoke.yaml"):
+    for name in ("sample-config.yaml", "synthetic-smoke.yaml",
+                 "tpu-deployment.yaml"):
         cfg = load_config(os.path.join(here, "experiments", name))
         assert cfg.EXPR_TYPE in ("AL", "SAL", "SUPERVISED")
 
