@@ -160,3 +160,47 @@ def test_quantized_hrnet_forward_close_to_float():
         )
     )
     np.testing.assert_allclose(stat, got, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.heavy
+def test_int8_evaluation_path(tmp_path):
+    """_evaluate_all with TPU.INT8_SCORING: eval-loop calibration wiring
+    (strategy.py) produces finite MKPE/PCK close to the float path."""
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    tree = generate_panoptic_tree(
+        str(tmp_path / "tree"), num_train_frames=2, num_val_frames=4,
+        num_joints=19, num_cameras=4,
+    )
+    results = {}
+    state = None
+    for int8 in (False, True):
+        cfg = get_default_configs()
+        cfg.DATA.TYPE = "synthetic"
+        cfg.DATA.SYNTHETIC_ROOT = tree
+        cfg.DATA.NUM_JOINTS = 19
+        cfg.DATA.INPUT_WIDTH = 64
+        cfg.DATA.INPUT_HEIGHT = 64
+        cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.INT8_SCORING = int8
+        cfg.LOG_DIR = str(tmp_path / "logs")
+        strategy = ActiveLearningStrategy(cfg)
+        val = build_dataset(cfg, "val")
+        val.label_all()
+        val.resample_frames(-1, rng=np.random.default_rng(0))
+        if state is None:
+            state = strategy.new_state()
+        loader = strategy._get_loader(val, 2, num_workers=0)
+        results[int8] = strategy._evaluate_all(-1, state, loader)
+    f32, i8 = results[False], results[True]
+    assert np.isfinite(i8["mkpe"])
+    # Untrained-net triangulations are noise-driven; the two paths must
+    # stay in the same regime, not bitwise equal.
+    assert abs(i8["mkpe"] - f32["mkpe"]) / max(f32["mkpe"], 1e-6) < 0.5, (
+        f32["mkpe"], i8["mkpe"],
+    )
