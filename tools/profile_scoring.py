@@ -36,6 +36,9 @@ def main():
                         help="score = the AL scoring step (bench.py workload);"
                              " train = the fwd+bwd optimizer step at the"
                              " reference train config (B=2 x 8 views)")
+    parser.add_argument("--int8", action="store_true",
+                        help="trace the TPU.INT8_SCORING path (score mode; "
+                             "calibrates on the bench batch first)")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
@@ -53,6 +56,7 @@ def main():
     cfg.POSE_ESTIMATOR.TYPE = args.model
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.INT8_SCORING = bool(args.int8)
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, 256, 256, 3))
 
@@ -96,10 +100,12 @@ def main():
     pairs = jnp.asarray(triangulate.all_view_pairs(V))
     key = jax.random.PRNGKey(1)
 
+    int8_scales = engine.int8_calibrate(state.params, state.batch_stats, images)
+
     def score(images_in):
         return engine.score_step(
             state.params, state.batch_stats, images_in, proj, valid, pairs,
-            gt, key, al_strategy="TRIANGULATION",
+            gt, key, al_strategy="TRIANGULATION", int8_scales=int8_scales,
         )
 
     # Warm up (compile + executable setup) outside the trace.
