@@ -37,6 +37,8 @@ class ALInferenceConfig:
     TRAINING_EXPR_NAME: str = ""
     # For EVAL experiments.
     RESTORE_FROM: str = ""
+    # PER-DEVICE frames per scoring/eval batch (the reference's per-GPU DDP
+    # semantics): global batch = BATCH_SIZE x mesh 'data' axis.
     BATCH_SIZE: int = 2
     NUM_WORKERS: int = 2
 
@@ -100,6 +102,9 @@ class TrainConfig:
     FULLY_SUPERVISED_FRAME_COUNT: int = -1
     SIZE: int = -1
     VAL_SIZE: int = 320
+    # PER-DEVICE frames per training batch (the reference's BATCH_SIZE is
+    # per-GPU under DDP, workflow.py:133-138): the loader's global batch is
+    # BATCH_SIZE x mesh 'data' axis, so default configs engage every device.
     BATCH_SIZE: int = 2
     NUM_WORKERS: int = 2
     LOG_EVERY_ITER: int = 500

@@ -77,6 +77,89 @@ class _ViewCache:
 
 VIEW_CACHE = _ViewCache()
 
+# One full decoded HD frame is ~30x the bytes of a 256x256 crop; in
+# DEVICE_CROP mode the same entry-count budget would silently balloon a
+# tuned VIEW_CACHE_SIZE (e.g. 10000 ~ 1.9 GB of crops) to tens of GB, so
+# the effective entry limit is scaled down by this factor there.
+_DEVICE_CROP_CACHE_DIVISOR = 32
+
+
+_SHARED_EXECUTORS: Dict[int, ProcessPoolExecutor] = {}
+_SHARED_EXECUTORS_LOCK = threading.Lock()
+
+
+def _main_module_reimportable() -> bool:
+    """forkserver/spawn re-import __main__ in the server process
+    (multiprocessing.spawn._fixup_main_from_path/name); a process driven
+    from stdin / -c / a REPL has no importable main and would crash the
+    server with FileNotFoundError.  True when the fixup can succeed."""
+    import os
+    import sys
+
+    main = sys.modules.get("__main__")
+    if main is None:
+        return True
+    spec = getattr(main, "__spec__", None)
+    if spec is not None:  # python -m style: re-imported by module name
+        return True
+    main_file = getattr(main, "__file__", None)
+    if main_file is None:  # interactive: no fixup attempted
+        return True
+    return os.path.isfile(main_file)
+
+
+def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
+    """Process-wide decode worker pool, one per worker count.
+
+    Forking lazily from a loader's prefetch thread is unsafe: the parent
+    already runs device-client/gRPC and prefetch threads, and a child forked
+    while another thread holds a lock (malloc, logging) can deadlock.  The
+    'forkserver' context sidesteps fork-with-threads entirely — workers are
+    forked from a dedicated single-threaded server process — at the cost of
+    copy-on-write cache inheritance (the server preloads this module so
+    workers skip the import; each worker then warms its own VIEW_CACHE,
+    which persists across epochs because the pool is shared for the whole
+    process rather than re-created per FrameLoader).  Falls back to 'spawn'
+    where forkserver is unavailable.
+    """
+    with _SHARED_EXECUTORS_LOCK:
+        ex = _SHARED_EXECUTORS.get(num_workers)
+        if ex is None:
+            ctx = None
+            if _main_module_reimportable():
+                try:
+                    ctx = multiprocessing.get_context("forkserver")
+                    ctx.set_forkserver_preload([__name__])
+                except ValueError:  # platforms without forkserver
+                    ctx = None
+            if ctx is None:
+                # stdin/-c-driven processes (or no forkserver): the
+                # forkserver's __main__ re-import would crash, so fall back
+                # to fork.  Residual risk documented: forking with live
+                # non-daemon threads can deadlock the child if another
+                # thread holds a lock at fork time; workers run only
+                # numpy/PIL host code, which bounds the exposure to the
+                # allocator/logging locks.
+                try:
+                    ctx = multiprocessing.get_context("fork")
+                except ValueError:
+                    ctx = multiprocessing.get_context("spawn")
+            ex = ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx)
+            _SHARED_EXECUTORS[num_workers] = ex
+        return ex
+
+
+def shutdown_shared_executors() -> None:
+    with _SHARED_EXECUTORS_LOCK:
+        for ex in _SHARED_EXECUTORS.values():
+            ex.shutdown(wait=False, cancel_futures=True)
+        _SHARED_EXECUTORS.clear()
+
+
+import atexit  # noqa: E402  (registered after the definitions it needs)
+
+atexit.register(shutdown_shared_executors)
+
 
 def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.ndarray]:
     """Prepare every view of one frame on the host.
@@ -111,6 +194,7 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             # the bbox, not on the pixels.
             cache_key = (view["path"], "full")
             cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
+            cache_size //= _DEVICE_CROP_CACHE_DIVISOR
             image = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
             if image is None:
                 with open(view["path"], "rb") as f:
@@ -294,35 +378,28 @@ class FrameLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _ensure_executor(self) -> ProcessPoolExecutor | None:
-        """Lazily start the decode worker pool (the torch DataLoader
-        `num_workers` analog, reference: strategy.py:747-760).
-
-        Workers run only host code (JPEG decode / crop / resize — numpy,
-        PIL, or the native loader); they never touch jax, so forking with a
-        live device client is safe.  `fork` is preferred: children inherit
-        loaded modules and the warm VIEW_CACHE copy-on-write, so there is
-        no per-worker import cost and no re-decode of already-cached views.
+        """The decode worker pool (the torch DataLoader `num_workers`
+        analog, reference: strategy.py:747-760).  Workers run only host
+        code (JPEG decode / crop / resize — numpy, PIL, or the native
+        loader) and come from the process-wide forkserver pool
+        (`_shared_executor`): no fork-with-threads hazard, no re-fork of an
+        ever-larger parent per AL iteration, and worker-local caches
+        persist across loaders.
         """
         if self.num_workers > 0 and self._executor is None:
-            try:
-                ctx = multiprocessing.get_context("fork")
-            except ValueError:  # platforms without fork
-                ctx = multiprocessing.get_context("spawn")
-            self._executor = ProcessPoolExecutor(
-                max_workers=self.num_workers, mp_context=ctx
-            )
+            self._executor = _shared_executor(self.num_workers)
         return self._executor
 
     def close(self) -> None:
-        if self._executor is not None:
-            self._executor.shutdown(wait=False, cancel_futures=True)
-            self._executor = None
+        # Drop the reference only: the executor is process-shared
+        # (shutdown happens once at exit via shutdown_shared_executors).
+        self._executor = None
 
-    def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
+    def __enter__(self) -> "FrameLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _prepared(self, frames) -> Iterator[Dict]:
         """Per-frame host prep, in order; overlapped across `num_workers`

@@ -167,11 +167,15 @@ class Engine:
                     mask[:, 0, 0, :],
                     beta=self.cfg.TRAIN.INTEGRAL_BETA,
                 )
-            return loss, mutated["batch_stats"]
+            # First crop's prediction rides along for figure logging: the
+            # diagnostic then needs no extra forward executable (minutes of
+            # 1-core compile each on this host) and always shows the float
+            # train-mode model, never the int8 scoring path.
+            return loss, (mutated["batch_stats"], out[0].astype(jnp.float32))
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, first_heatmap)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -194,6 +198,9 @@ class Engine:
             "loss": loss,
             "skipped": ~ok,
             "lr": self.lr_schedule(state.step),
+            # [h, w, K] predicted heatmap of the batch's first crop (first
+            # frame, first view) — fetched only at log points.
+            "first_heatmap": first_heatmap,
         }
         return state, metrics
 

@@ -55,6 +55,7 @@ class ActiveLearningStrategy:
         # Root joint for pose centering (reference: strategy.py:34-37).
         self.joint_root_index = 2 if al_cfg.DATA.TYPE != "ih26m" else 21
         self.al_writer: Optional[MetricsWriter] = None
+        self._warned_shardings: set = set()
         self.kmeans: Optional[KMeans] = None
         if al_cfg.EXPR_TYPE == "SAL" and al_cfg.SAL.CLUSTER_FILE_PATH:
             with open(al_cfg.SAL.CLUSTER_FILE_PATH) as f:
@@ -78,20 +79,34 @@ class ActiveLearningStrategy:
     def _rng(self, salt: int = 0) -> np.random.Generator:
         return np.random.default_rng((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
 
+    def _data_parallelism(self) -> int:
+        """Size of the mesh's 'data' axis (1 without a mesh)."""
+        if self.mesh is None:
+            return 1
+        from . import parallel
+
+        return int(self.mesh.shape[parallel.DATA_AXIS])
+
     def _get_loader(
         self, pool, batch_size: int, num_workers: int | None = None
     ) -> FrameLoader:
         """Loader factory (reference: strategy.py:747-760).  `num_workers`
         follows the reference's DataLoader split: TRAIN.NUM_WORKERS for
         train/val/cluster loaders (the default), AL.INFERENCE.NUM_WORKERS
-        for scoring/eval loaders; 0 = in-process decode."""
+        for scoring/eval loaders; 0 = in-process decode.
+
+        `batch_size` is PER-DEVICE, matching the reference's per-GPU DDP
+        semantics (workflow.py:133-138: each of NUM_GPUS ranks loads its own
+        BATCH_SIZE batch) — the loader's global batch is scaled by the
+        mesh's 'data' axis so the reference-default configs (BATCH_SIZE=2)
+        engage every device instead of silently running on one."""
         if num_workers is None:
             num_workers = self.al_cfg.TRAIN.NUM_WORKERS
         return FrameLoader(
             pool,
             self.al_cfg.DATA,
             self.al_cfg.POSE_ESTIMATOR.STRIDE,
-            batch_size=batch_size,
+            batch_size=batch_size * self._data_parallelism(),
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
             num_workers=num_workers,
@@ -101,9 +116,12 @@ class ActiveLearningStrategy:
         """Host array -> device, sharded over the mesh when shapes divide.
 
         [B, V, ...] arrays shard (data, view); [B, ...] shard (data,).
-        Falls back to unsharded placement when the mesh is absent or the
-        batch does not divide the axis (tail batches keep fixed shapes, so
-        in practice everything divides or nothing does).
+        Arrays whose view dim does not divide the 'view' axis still shard
+        their batch dim over 'data' (replicated across 'view').  A batch
+        dim that does not divide 'data' cannot shard at all — that means
+        every device but one idles, so it is a loud warning, not a silent
+        fallback (with per-device batch scaling in _get_loader it can only
+        happen for hand-built batches).
         """
         arr = np.asarray(arr)
         if self.mesh is None or np.prod(self.mesh.devices.shape) == 1:
@@ -115,14 +133,27 @@ class ActiveLearningStrategy:
             self.mesh.shape[parallel.VIEW_AXIS],
         )
         if arr.ndim >= 1 and arr.shape[0] % data_n == 0:
-            if view_axis and arr.ndim >= 2 and arr.shape[1] % view_n == 0:
+            if (
+                view_axis
+                and arr.ndim >= 2
+                and view_n > 1
+                and arr.shape[1] % view_n == 0
+            ):
                 return jax.device_put(
                     arr, parallel.batch_sharding(self.mesh, arr.ndim, 1)
                 )
-            if view_n == 1:
-                return jax.device_put(
-                    arr, parallel.data_sharding(self.mesh, arr.ndim)
-                )
+            return jax.device_put(
+                arr, parallel.data_sharding(self.mesh, arr.ndim)
+            )
+        key = ("unsharded", arr.shape[0] if arr.ndim else 0, data_n)
+        if key not in self._warned_shardings:
+            self._warned_shardings.add(key)
+            self._logger.warning(
+                "Batch dim %s does not divide the mesh 'data' axis (%d): "
+                "placing UNSHARDED — all but one device idle for this array. "
+                "Batch sizes are per-device; check the loader produced "
+                "batch = per_device x data_axis." % (arr.shape[:1], data_n)
+            )
         return jnp.asarray(arr)
 
     def _device_images(self, batch: Dict):
@@ -304,15 +335,31 @@ class ActiveLearningStrategy:
                 )
                 counter = [0] * cfg.SAL.NUM_CLUSTERS
                 per_cluster = pseudo_num_frames // cfg.SAL.NUM_CLUSTERS
-                for guid in sal_guids:
-                    kp = np.asarray(
-                        sal_dict["pred_3d_keypoints"][guid], dtype=np.float64
-                    ).T  # [3, K]
-                    kp = kp - kp[:, self.joint_root_index : self.joint_root_index + 1]
-                    cluster_id = int(self.kmeans.predict(kp.flatten()[None])[0])
-                    if counter[cluster_id] < per_cluster:
-                        counter[cluster_id] += 1
-                        sal_sampled_guids.append(guid)
+                if sal_guids:
+                    # One batched cluster assignment for every candidate (the
+                    # reference predicts per guid in a Python loop,
+                    # strategy.py:973-991 — one device dispatch each, which
+                    # on a remote backend turns a 10^4-frame pool into
+                    # minutes of pure dispatch).  One [N, 3K] x [C, 3K]
+                    # matmul instead; the quota walk stays host-side.
+                    feats = np.stack(
+                        [
+                            np.asarray(
+                                sal_dict["pred_3d_keypoints"][g], dtype=np.float64
+                            ).T
+                            for g in sal_guids
+                        ]
+                    )  # [N, 3, K]
+                    feats = feats - feats[
+                        :, :, self.joint_root_index : self.joint_root_index + 1
+                    ]
+                    cluster_ids = self.kmeans.predict(
+                        feats.reshape(len(sal_guids), -1)
+                    )
+                    for guid, cluster_id in zip(sal_guids, cluster_ids):
+                        if counter[int(cluster_id)] < per_cluster:
+                            counter[int(cluster_id)] += 1
+                            sal_sampled_guids.append(guid)
             elif sal_guids and pseudo_num_frames > 0:
                 head = sal_guids[: 2 * pseudo_num_frames]
                 take = min(pseudo_num_frames, len(head))
@@ -565,7 +612,8 @@ class ActiveLearningStrategy:
                             )
                         writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
                         self._log_train_figures(
-                            writer, state, images, gt_heat, global_step
+                            writer, metrics["first_heatmap"], images, gt_heat,
+                            global_step,
                         )
                         for k, v in step_timer.summary().items():
                             writer.add_scalar("perf/%s" % k, v, global_step)
@@ -598,18 +646,22 @@ class ActiveLearningStrategy:
             writer.close()
         return state
 
-    def _log_train_figures(self, writer, state, images, gt_heat, step):
+    def _log_train_figures(self, writer, first_heatmap, images, gt_heat, step):
         """Rendered figures every LOG_EVERY_ITER: pred-vs-gt heatmap grid and
         a 2D keypoint overlay for the first view of the first frame
         (reference: utils/visualization.py:14-64; the PCK-curve figures are
-        rendered inside MetricsWriter.add_pck_curves)."""
+        rendered inside MetricsWriter.add_pck_curves).
+
+        `first_heatmap` is train_step's metrics["first_heatmap"] — the
+        float train-mode prediction already computed by the step, so no
+        extra forward executable is compiled for this diagnostic and the
+        int8 scoring path is never involved."""
         from .ops import geometry as geo_ops
         from .ops import heatmap as heatmap_ops
         from .utils import visualization
 
-        pred = self.engine.forward(state.params, state.batch_stats, images[:1, :1])
         pred_hm = np.asarray(
-            jax.device_get(pred[0, 0]), np.float32
+            jax.device_get(first_heatmap), np.float32
         ).transpose(2, 0, 1)  # [K, h, w]
         gt_hm = np.asarray(
             jax.device_get(gt_heat[0, 0]), np.float32

@@ -146,6 +146,41 @@ def test_sharded_score_step_matches_single_device():
     assert (sharded["inlier_count"] >= 2).all()
 
 
+def test_default_config_batches_shard_on_mesh():
+    """Reference-default batch sizes must engage the mesh: BATCH_SIZE is
+    per-device (DDP per-GPU semantics, reference workflow.py:133-138), the
+    loader scales the global batch by the 'data' axis, and the placed batch
+    carries a ('data', 'view') sharding — no silent single-device runs."""
+    from jax.sharding import SingleDeviceSharding
+
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    cfg = get_default_configs()  # TRAIN.BATCH_SIZE == 2 == reference default
+    mesh = parallel.make_mesh(4, 2)
+    strat = ActiveLearningStrategy(cfg, mesh)
+
+    class _Pool:
+        data = [None] * 32
+
+    loader = strat._get_loader(_Pool(), cfg.TRAIN.BATCH_SIZE)
+    assert loader.batch_size == cfg.TRAIN.BATCH_SIZE * 4  # x data axis
+    B = loader.batch_size
+
+    placed = strat._put(np.zeros((B, 4, 8, 8, 3), np.uint8), view_axis=True)
+    assert placed.sharding.spec[:2] == ("data", "view")
+    placed = strat._put(np.ones((B, 19), bool))
+    assert placed.sharding.spec[0] == "data"
+    # A view count that does not divide 'view' (e.g. 31 Panoptic cams on a
+    # view=2 mesh) still shards the batch dim instead of going unsharded.
+    placed = strat._put(np.zeros((B, 31, 8, 8, 3), np.uint8), view_axis=True)
+    assert placed.sharding.spec[0] == "data"
+    assert len(placed.sharding.spec) == 1 or placed.sharding.spec[1] is None
+    # An indivisible batch dim is the loud-warning fallback.
+    placed = strat._put(np.zeros((3, 19), np.float32))
+    assert isinstance(placed.sharding, SingleDeviceSharding)
+    assert strat._warned_shardings
+
+
 def test_shard_batch_places_arrays():
     mesh = parallel.make_mesh(8, 1)
     batch = {

@@ -124,11 +124,23 @@ def test_sal_cluster_balanced_pseudo_labeling(tree, tmp_path):
 
     strategy = ActiveLearningStrategy(cfg)
     assert strategy.kmeans is not None
+    # The cluster assignment must be ONE batched predict over all candidate
+    # poses, not a per-guid dispatch loop (the reference loops per guid,
+    # strategy.py:973-991 — on a remote device that is minutes of dispatch
+    # for a real pool).
+    calls = []
+    real_predict = strategy.kmeans.predict
+    strategy.kmeans.predict = lambda feats: (
+        calls.append(np.asarray(feats).shape), real_predict(feats)
+    )[1]
     state = strategy.new_state()
     pool2 = build_dataset(cfg, "train")
     al_guids, sal_guids, sal_dict = strategy._sal_pseudo_labeling(
         pool2, 2, 2, state, iteration=1
     )
+    assert len(calls) <= 1
+    if calls:
+        assert calls[0][0] > 1  # all candidates in one call
     assert len(al_guids) == 2
     assert 0 <= len(sal_guids) <= 2
     assert pool2.pseudo_label_guids == sal_guids
