@@ -5,6 +5,38 @@ import numpy as np
 from multi_view_active_learning_tpu.ops import geometry
 
 
+def golden_fill_values(names, shapes, seed):
+    """Deterministic synthetic weights for the model-forward parity goldens.
+
+    Both tools/make_model_goldens.py (which loads them into the REFERENCE
+    torch models) and tests/test_model_forward_parity.py (which feeds them
+    through models/convert.py into the Flax models) regenerate the same
+    {torch state_dict name: array} from this one function, so the golden
+    .npz only needs to store names/shapes/outputs — not 100+ MB of weights.
+
+    Scaling keeps eval-mode activations O(1) through 50+ conv/BN layers:
+    conv weights ~ N(0, 1/sqrt(fan_in)), BN scale ~ U(0.8, 1.2), BN
+    running_var ~ U(0.5, 1.5).
+    """
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, shape in zip(names, shapes):
+        shape = tuple(int(s) for s in shape)
+        if name.endswith("running_var"):
+            arr = rng.uniform(0.5, 1.5, size=shape)
+        elif name.endswith("running_mean"):
+            arr = rng.normal(0.0, 0.1, size=shape)
+        elif name.endswith("bias"):
+            arr = rng.normal(0.0, 0.05, size=shape)
+        elif len(shape) == 1:  # BN weight
+            arr = rng.uniform(0.8, 1.2, size=shape)
+        else:  # conv / deconv weight
+            fan_in = int(np.prod(shape[1:]))
+            arr = rng.normal(0.0, 1.0 / np.sqrt(fan_in), size=shape)
+        out[name] = arr.astype(np.float32)
+    return out
+
+
 def make_ring_cameras(num_views, radius=300.0, img=256, focal=260.0, jitter=0.1):
     """Cameras on a ring looking at the origin; returns [V, 3, 4] projections."""
     projs = []
