@@ -26,16 +26,29 @@ DATA_AXIS = "data"
 VIEW_AXIS = "view"
 
 
-def initialize_distributed() -> bool:
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
     """Multi-host bring-up: call once at program start on multi-slice /
-    multi-host deployments.  jax.distributed.initialize discovers the
-    coordinator from the TPU environment; single-host runs (and the CPU
-    test mesh) skip it.  Replaces the reference's file-based NCCL
-    rendezvous (reference: workflow.py:228-230) — no rendezvous files, no
-    per-experiment tempfile plumbing."""
+    multi-host deployments.  With no arguments, jax.distributed.initialize
+    discovers the coordinator from the TPU environment; single-host runs
+    (and the CPU test mesh) skip it.  Explicit arguments force a rendezvous
+    at `coordinator_address` (process_id 0 hosts the coordinator) — used by
+    the 2-process CPU smoke test and by non-TPU launchers.  Replaces the
+    reference's file-based NCCL rendezvous (reference: workflow.py:228-230)
+    — no rendezvous files, no per-experiment tempfile plumbing."""
     import os
 
     if jax.distributed.is_initialized():
+        return True
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
         return True
     if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
