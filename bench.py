@@ -35,6 +35,77 @@ BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 POOL_FOR_CORESET = 2048
 CORESET_PICK = 100
+# BENCH_MODE=pool: product-path sweep — synthetic pool through the real
+# FrameLoader (host JPEG decode + crop) into strategy._compute_sal_dict.
+MODE = os.environ.get("BENCH_MODE", "device")
+POOL_FRAMES = int(os.environ.get("BENCH_POOL_FRAMES", "64"))
+POOL_WORKERS = int(os.environ.get("BENCH_POOL_WORKERS", "2"))
+
+
+def pool_mode():
+    """End-to-end product-path scoring (reference: strategy.py:925-930 +
+    1004-1147): host pipeline (JPEG decode, square-box crop, resize, uint8
+    ship) feeding the jitted score path, over a real FramePool.
+
+    Prints the same one-line JSON schema with the CACHE-WARM sweep rate —
+    the steady state of the AL loop, where every iteration re-scores the
+    same pool with a new model and the decoded-view cache is hot.  The
+    cache-cold (first sweep, decode-bound) rate is printed on stderr as a
+    diagnostic; on this 1-CPU-core host it measures libjpeg, not the
+    framework."""
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    tree_root = "/tmp/mval_bench_pool_v%d_f%d" % (NUM_VIEWS, POOL_FRAMES)
+    if not os.path.isdir(tree_root):
+        generate_panoptic_tree(
+            tree_root, num_train_frames=POOL_FRAMES, num_val_frames=2,
+            num_joints=NUM_JOINTS, num_cameras=NUM_VIEWS,
+        )
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = tree_root
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.POSE_ESTIMATOR.TYPE = MODEL
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "1") == "1"
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.INFERENCE.BATCH_SIZE = BATCH
+    cfg.AL.INFERENCE.NUM_WORKERS = POOL_WORKERS
+    cfg.LOG_DIR = "/tmp/mval_bench_pool_logs"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    pool.resample_unlabeled_data()
+    state = strategy.new_state()
+
+    t0 = time.perf_counter()
+    sal = strategy._compute_sal_dict(pool, state)  # compile + cache-cold
+    cold = len(sal["al_metric"]) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    sal = strategy._compute_sal_dict(pool, state)  # cache-warm steady state
+    warm_dt = time.perf_counter() - t0
+    n = len(sal["al_metric"])
+    fps = n / warm_dt
+    sys.stderr.write(
+        "pool sweep: %d frames x %d views; cache-cold %.2f fps "
+        "(compile+decode-bound on this host), cache-warm %.2f fps\n"
+        % (n, NUM_VIEWS, cold, fps)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "al_scoring_product_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -49,7 +120,11 @@ def main():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PALLAS_HEAD = os.environ.get("BENCH_PALLAS_HEAD", "0") == "1"
-    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "0") == "1"
+    # Int8 scoring is the framework default (TPU.INT8_SCORING, evidence in
+    # BENCH_NOTES round 3); BENCH_INT8=0 measures the float path.
+    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "1") == "1"
+    # Fused int8 Pallas phase-deconv head (TPU.INT8_DECONV).
+    cfg.TPU.INT8_DECONV = os.environ.get("BENCH_INT8_DECONV", "0") == "1"
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
 
@@ -131,4 +206,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE == "pool":
+        pool_mode()
+    else:
+        main()

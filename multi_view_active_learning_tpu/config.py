@@ -278,15 +278,28 @@ class TPUConfig:
     # heatmap decode).  Falls back to pure-XLA implementations when False or
     # when the backend lacks Pallas support.
     USE_PALLAS: bool = True
-    # Int8 quantized scoring/eval inference (PoseResNet + HRNet): backbone
-    # convs run s8xs8->s32 on the MXU (2x bf16 peak; measured 1.66x on a
-    # conv-chain probe) with dynamic per-tensor activation scales,
-    # per-output-channel weight scales, and BN folded into the
-    # requantization epilogue (models/quantize.py).  Training and the
-    # deconv head stay float.  Off by default: bit-parity with the
-    # reference's float scoring is the default contract; flip it on for
-    # throughput-critical pool sweeps.
-    INT8_SCORING: bool = False
+    # Int8 quantized SCORING inference (PoseResNet + HRNet): backbone convs
+    # run s8xs8->s32 on the MXU (2x bf16 peak) with per-output-channel
+    # weight scales, calibrated static activation scales, and BN folded
+    # into the requantization epilogue (models/quantize.py).  Training, the
+    # deconv head, and eval stay float.  ON by default for score_step: the
+    # AL metric only feeds frame SELECTION (a ranking), and on a trained
+    # synthetic checkpoint the int8 ranking matches float (top-k overlap /
+    # rank correlation evidence in BENCH_NOTES round 3) at 269 vs 224
+    # frames/s measured.  Set False for bit-float scoring parity runs.
+    INT8_SCORING: bool = True
+    # With INT8_SCORING, also run the PoseResNet deconv head through the
+    # fused int8 Pallas phase-deconv kernel
+    # (ops/pallas/deconv.py::fused_deconv_bn_relu_int8): the k4/s2
+    # transposed convs become dense 2x2 s8 matmuls on the MXU with the
+    # requant + interleave kept in VMEM.  Requires USE_PALLAS; measured on
+    # the v5e axon backend before defaulting (BENCH_NOTES round 3).
+    INT8_DECONV: bool = False
+    # Int8 backbone for the EVAL path too (reported MKPE/PCK metrics).
+    # Off by default: metric reporting keeps the reference's float
+    # contract; flip on only for throughput sweeps where approximate eval
+    # is acceptable.
+    INT8_EVAL: bool = False
     # Run the PoseResNet deconv head through the fused Pallas kernel on the
     # inference paths (score/eval/forward): exact phase-decomposed
     # ConvTranspose + folded-BN + ReLU with the interleave kept in VMEM

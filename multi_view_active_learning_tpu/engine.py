@@ -204,10 +204,12 @@ class Engine:
         }
         return state, metrics
 
-    def _flatten_normalize(self, images):
+    def _flatten_normalize(self, images, use_int8: bool = False):
         """[B, V, H, W, 3] -> normalized [B*V, H', W', C'] in compute dtype
         (uint8 inputs get the fused ImageNet normalization; float inputs
-        are assumed pre-normalized)."""
+        are assumed pre-normalized).  `use_int8` disables the
+        space-to-depth fast path (the quantized forward expects the plain
+        3-channel layout)."""
         B, V = images.shape[0], images.shape[1]
         flat = images.reshape((B * V,) + images.shape[2:])
         if flat.dtype == jnp.uint8:
@@ -223,7 +225,7 @@ class Engine:
             std = np.asarray(geometry.IMAGENET_STD)
             if (
                 self.cfg.TPU.SPACE_TO_DEPTH_STEM
-                and not self.cfg.TPU.INT8_SCORING
+                and not use_int8
                 and self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
                 and flat.shape[1] % 2 == 0
                 and flat.shape[2] % 2 == 0
@@ -241,12 +243,19 @@ class Engine:
             ) / jnp.asarray(std, dtype)
         return flat
 
+    def _int8_supported(self) -> bool:
+        return self.cfg.POSE_ESTIMATOR.TYPE in ("POSE_RESNET", "HRNET")
+
     @property
     def use_int8(self) -> bool:
-        return bool(self.cfg.TPU.INT8_SCORING) and self.cfg.POSE_ESTIMATOR.TYPE in (
-            "POSE_RESNET",
-            "HRNET",
-        )
+        """Int8 backbone for the SCORING path (TPU.INT8_SCORING)."""
+        return bool(self.cfg.TPU.INT8_SCORING) and self._int8_supported()
+
+    @property
+    def use_int8_eval(self) -> bool:
+        """Int8 backbone for the EVAL path (TPU.INT8_EVAL; off by default —
+        reported metrics keep the reference's float contract)."""
+        return bool(self.cfg.TPU.INT8_EVAL) and self._int8_supported()
 
     def _int8_forward(self, params, batch_stats, flat, act_scales=None,
                       collect_scales=False):
@@ -262,27 +271,31 @@ class Engine:
         return quantize.quantized_pose_resnet_forward(
             params, batch_stats, flat, self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
             act_scales=act_scales, collect_scales=collect_scales,
+            int8_head=bool(self.cfg.TPU.INT8_DECONV) and self.use_pallas,
         )
 
     @partial(jax.jit, static_argnames=("self",))
     def _int8_calibrate_step(self, params, batch_stats, images):
-        flat = self._flatten_normalize(images)
+        flat = self._flatten_normalize(images, use_int8=True)
         _, scales = self._int8_forward(
             params, batch_stats, flat, collect_scales=True
         )
         return scales
 
-    def int8_calibrate(self, params, batch_stats, images):
-        """One-batch activation-scale calibration for static int8 scoring
+    def int8_calibrate(self, params, batch_stats, images, for_eval: bool = False):
+        """One-batch activation-scale calibration for static int8 inference
         (models/quantize.py).  Returns the scale table to pass back into
-        forward/score_step/eval_step as `int8_scales`, or None when int8
-        scoring is off — callers can pass the result through unconditionally."""
-        if not self.use_int8:
+        forward/score_step/eval_step as `int8_scales`, or None when the
+        respective int8 path (scoring, or eval with for_eval=True) is off —
+        callers can pass the result through unconditionally."""
+        if not (self.use_int8_eval if for_eval else self.use_int8):
             return None
         return self._int8_calibrate_step(params, batch_stats, images)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def forward(self, params, batch_stats, images, int8_scales=None) -> jnp.ndarray:
+    @partial(jax.jit, static_argnames=("self", "use_int8"))
+    def forward(
+        self, params, batch_stats, images, int8_scales=None, use_int8=None
+    ) -> jnp.ndarray:
         """Inference heatmaps: [B, V, H, W, 3] -> [B, V, h, w, K].
 
         uint8 inputs are raw pixels: ImageNet normalization happens here in
@@ -293,10 +306,14 @@ class Engine:
         (the training path, where RandAugment runs first).
 
         `int8_scales`: static activation-scale table from int8_calibrate
-        (TPU.INT8_SCORING only; None falls back to dynamic scales)."""
+        (None falls back to dynamic scales).  `use_int8` selects the int8
+        backbone explicitly; None means the SCORING default
+        (TPU.INT8_SCORING) — eval surfaces pass use_int8_eval."""
+        if use_int8 is None:
+            use_int8 = self.use_int8
         B, V = images.shape[0], images.shape[1]
-        flat = self._flatten_normalize(images)
-        if self.use_int8:
+        flat = self._flatten_normalize(images, use_int8=use_int8)
+        if use_int8:
             out = self._int8_forward(
                 params, batch_stats, flat, act_scales=int8_scales
             )
@@ -347,7 +364,9 @@ class Engine:
         Returns per-frame arrays: keypoints_3d [B, K, 3], sal_metric [B],
         inlier_count [B], al_metric [B], mkpe [B].
         """
-        heatmaps = self.forward(params, batch_stats, images, int8_scales)
+        heatmaps = self.forward(
+            params, batch_stats, images, int8_scales, use_int8=self.use_int8
+        )
         res = tri.triangulate_frames(
             heatmaps,
             proj_matrices,
@@ -406,8 +425,12 @@ class Engine:
         int8_scales=None,
     ) -> Dict[str, jnp.ndarray]:
         """Validation triangulation (replaces strategy.py:584-634's
-        per-sample loop + all_gathers)."""
-        heatmaps = self.forward(params, batch_stats, images, int8_scales)
+        per-sample loop + all_gathers).  Runs the float forward unless
+        TPU.INT8_EVAL opts eval into the int8 backbone."""
+        heatmaps = self.forward(
+            params, batch_stats, images, int8_scales,
+            use_int8=self.use_int8_eval,
+        )
         res = tri.triangulate_frames(
             heatmaps,
             proj_matrices,
@@ -424,8 +447,12 @@ class Engine:
     @partial(jax.jit, static_argnames=("self",))
     def loss_step(self, params, batch_stats, images, gt_heatmaps) -> jnp.ndarray:
         """Per-frame heatmap MSE for CLUSTER TYPE=LOSS
-        (reference: strategy.py:173-187): [B] losses normalized by h*w."""
-        heatmaps = self.forward(params, batch_stats, images)  # [B, V, h, w, K]
+        (reference: strategy.py:173-187): [B] losses normalized by h*w.
+        Always float — the cluster file feeds SAL KMeans and the reference
+        computes it with the float model."""
+        heatmaps = self.forward(
+            params, batch_stats, images, use_int8=False
+        )  # [B, V, h, w, K]
         sq = jnp.square(heatmaps - gt_heatmaps)
         h, w = heatmaps.shape[2], heatmaps.shape[3]
         return jnp.sum(sq, axis=(1, 2, 3, 4)) / (h * w)

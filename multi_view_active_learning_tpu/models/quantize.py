@@ -156,13 +156,18 @@ def _bottleneck_block(x, p, s, scales, prefix, strides, downsample):
 def quantized_pose_resnet_forward(
     params, batch_stats, images, num_layers: int,
     act_scales=None, collect_scales: bool = False,
+    int8_head: bool = False,
 ):
     """Int8 inference forward: images [N, H, W, 3] float (normalized) ->
     heatmaps [N, H/4, W/4, K] float32.
 
     Mirrors models/pose_resnet.py::PoseResNet.__call__(train=False) with
-    the backbone convs in int8.  The deconv head runs bf16 (see module
-    docstring).  `act_scales`: static per-tensor scale table (the dict a
+    the backbone convs in int8.  The deconv head runs bf16 by default (see
+    module docstring); `int8_head=True` routes it through the fused int8
+    Pallas phase-deconv kernel (ops/pallas/deconv.py::
+    fused_deconv_bn_relu_int8) — transposed conv has no int8 MXU path in
+    XLA, but the phase decomposition is dense 2x2 matmuls, which do.
+    `act_scales`: static per-tensor scale table (the dict a
     `collect_scales=True` call returns); with `collect_scales=True` the
     return value is `(heatmaps, scales_dict)` for calibration."""
     block_cls, layer_sizes = RESNET_SPEC[num_layers]
@@ -209,21 +214,29 @@ def quantized_pose_resnet_forward(
             )
         inplanes = planes * expansion
 
-    # Head in bf16: ConvTranspose + folded BN + ReLU, exactly the standard
-    # inference math.
+    # Head: ConvTranspose + folded BN + ReLU — bf16 XLA by default, or the
+    # fused int8 Pallas phase-deconv kernel.
     for i in range(3):
-        x = jax.lax.conv_transpose(
-            x,
-            params[f"deconv{i}"]["kernel"].astype(jnp.bfloat16),
-            (2, 2),
-            "SAME",
-            dimension_numbers=_DN,
-        )
         bscale, bbias = _bn_fold(
             params[f"deconv_bn{i}"], batch_stats[f"deconv_bn{i}"]
         )
-        x = jnp.maximum(x.astype(jnp.float32) * bscale + bbias, 0.0)
-        x = x.astype(jnp.bfloat16)
+        if int8_head:
+            from ..ops.pallas import deconv as pallas_deconv
+
+            sx = scales.scale_for(f"deconv{i}", x)
+            x = pallas_deconv.fused_deconv_bn_relu_int8(
+                x, params[f"deconv{i}"]["kernel"], bscale, bbias, sx
+            )
+        else:
+            x = jax.lax.conv_transpose(
+                x,
+                params[f"deconv{i}"]["kernel"].astype(jnp.bfloat16),
+                (2, 2),
+                "SAME",
+                dimension_numbers=_DN,
+            )
+            x = jnp.maximum(x.astype(jnp.float32) * bscale + bbias, 0.0)
+            x = x.astype(jnp.bfloat16)
 
     fl = params["final_layer"]
     x = x.astype(jnp.float32)

@@ -699,7 +699,7 @@ class ActiveLearningStrategy:
             images = self._device_images(batch)
             if int8_scales is None:
                 int8_scales = self.engine.int8_calibrate(
-                    state.params, state.batch_stats, images
+                    state.params, state.batch_stats, images, for_eval=True
                 )
             out = self.engine.eval_step(
                 state.params,
@@ -741,10 +741,11 @@ class ActiveLearningStrategy:
             images = self._device_images(batch)
             if int8_scales is None:
                 int8_scales = self.engine.int8_calibrate(
-                    state.params, state.batch_stats, images
+                    state.params, state.batch_stats, images, for_eval=True
                 )
             heatmaps = self.engine.forward(
-                state.params, state.batch_stats, images, int8_scales
+                state.params, state.batch_stats, images, int8_scales,
+                use_int8=self.engine.use_int8_eval,
             )
             hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
             coords = heatmap_ops.decode_keypoints_bbox(

@@ -144,6 +144,7 @@ def test_engine_forward_s2d_path_matches_plain():
     cfg.DATA.NUM_JOINTS = 4
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.INT8_SCORING = False  # this test pins the FLOAT s2d fast path
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, size=(1, 2, 64, 64, 3)), jnp.uint8)
 

@@ -164,8 +164,9 @@ def test_quantized_hrnet_forward_close_to_float():
 
 @pytest.mark.heavy
 def test_int8_evaluation_path(tmp_path):
-    """_evaluate_all with TPU.INT8_SCORING: eval-loop calibration wiring
-    (strategy.py) produces finite MKPE/PCK close to the float path."""
+    """_evaluate_all with TPU.INT8_EVAL: eval-loop calibration wiring
+    (strategy.py) produces finite MKPE/PCK close to the float path.  Eval
+    defaults to float regardless of the INT8_SCORING default."""
     from multi_view_active_learning_tpu.data import build_dataset
     from multi_view_active_learning_tpu.data.synthetic import (
         generate_panoptic_tree,
@@ -187,7 +188,7 @@ def test_int8_evaluation_path(tmp_path):
         cfg.DATA.INPUT_HEIGHT = 64
         cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
         cfg.TPU.COMPUTE_DTYPE = "float32"
-        cfg.TPU.INT8_SCORING = int8
+        cfg.TPU.INT8_EVAL = int8
         cfg.LOG_DIR = str(tmp_path / "logs")
         strategy = ActiveLearningStrategy(cfg)
         val = build_dataset(cfg, "val")

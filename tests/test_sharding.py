@@ -83,6 +83,9 @@ def test_sharded_score_step_matches_single_device():
     cfg.DATA.INPUT_HEIGHT = 32
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # Pin float: this test's contract is exact conv-forward equivalence
+    # under the mesh (dryrun_multichip covers the int8-default path).
+    cfg.TPU.INT8_SCORING = False
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
 

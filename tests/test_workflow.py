@@ -45,6 +45,10 @@ def _tiny_cfg(tree, log_dir):
     cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # Float scoring keeps these CPU compiles fast; the int8-default
+    # path has dedicated coverage (test_quantize, the int8 AL test
+    # below, dryrun_multichip).
+    cfg.TPU.INT8_SCORING = False
     cfg.TRAIN.BATCH_SIZE = 2
     cfg.TRAIN.VAL_SIZE = 2
     cfg.TRAIN.OPTIM.TOTAL_STEPS = 4

@@ -31,6 +31,12 @@ def main():
         help="training objective (TRAIN.LOSS)",
     )
     parser.add_argument("--workdir", default="/tmp/mval_validate")
+    parser.add_argument(
+        "--int8_compare", action="store_true",
+        help="after validation, score the pool with float vs int8 "
+        "(TPU.INT8_SCORING) on the trained checkpoint and report ranking "
+        "agreement + eval-MKPE delta (the INT8_SCORING-default evidence)",
+    )
     args = parser.parse_args()
 
     from multi_view_active_learning_tpu.config import get_default_configs
@@ -83,7 +89,71 @@ def main():
     print("train-set MKPE: %.3f  3D-PCK@5: %.3f" % (res["mkpe"], pck5))
     ok = res["mkpe"] < 3.0 and pck5 > 0.95
     print("VALIDATION %s" % ("PASSED" if ok else "FAILED"))
+
+    if ok and args.int8_compare:
+        ok = _int8_compare(cfg, state) and ok
     return 0 if ok else 1
+
+
+def _int8_compare(cfg, state) -> bool:
+    """Float-vs-int8 scoring on a TRAINED checkpoint: the evidence behind
+    the TPU.INT8_SCORING default.  The AL metric only feeds frame selection
+    (a ranking, reference strategy.py:945-949), so the bar is ranking
+    agreement, not bitwise parity; eval-MKPE is compared for the
+    TPU.INT8_EVAL (off-by-default) knob."""
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    sal = {}
+    for int8 in (False, True):
+        c = cfg.clone()
+        c.AL.STRATEGY = "TRIANGULATION"
+        c.TPU.INT8_SCORING = int8
+        strat = ActiveLearningStrategy(c)
+        pool = build_dataset(c, "train")
+        pool.resample_unlabeled_data()
+        sal[int8] = strat._compute_sal_dict(pool, state)
+    guids = list(sal[False]["al_metric"])
+    a = np.asarray([sal[False]["al_metric"][g] for g in guids])
+    b = np.asarray([sal[True]["al_metric"][g] for g in guids])
+    ra = np.argsort(np.argsort(a))
+    rb = np.argsort(np.argsort(b))
+    rank_corr = float(np.corrcoef(ra, rb)[0, 1])
+    k = max(len(guids) // 4, 1)
+    topk_f32 = set(np.argsort(-a)[:k].tolist())
+    topk_i8 = set(np.argsort(-b)[:k].tolist())
+    overlap = len(topk_f32 & topk_i8) / k
+    mk_a = np.asarray([sal[False]["mkpe"][g] for g in guids])
+    mk_b = np.asarray([sal[True]["mkpe"][g] for g in guids])
+    mkpe_delta = float(np.median(np.abs(mk_a - mk_b)))
+    print(
+        "int8 scoring vs float (trained net, %d frames): rank_corr %.3f  "
+        "top-%d overlap %.2f  median per-frame |MKPE delta| %.3f"
+        % (len(guids), rank_corr, k, overlap, mkpe_delta)
+    )
+
+    evals = {}
+    for int8_eval in (False, True):
+        c = cfg.clone()
+        c.TPU.INT8_EVAL = int8_eval
+        strat = ActiveLearningStrategy(c)
+        val = build_dataset(c, "train")
+        val.label_all()
+        val.resample_frames(-1, rng=np.random.default_rng(0))
+        evals[int8_eval] = strat._evaluate_all(
+            -1, state, strat._get_loader(val, 4)
+        )
+    print(
+        "eval MKPE float %.3f vs int8 %.3f (delta %.3f)"
+        % (
+            evals[False]["mkpe"],
+            evals[True]["mkpe"],
+            evals[True]["mkpe"] - evals[False]["mkpe"],
+        )
+    )
+    good = rank_corr > 0.9 and overlap >= 0.75
+    print("INT8 COMPARE %s" % ("PASSED" if good else "FAILED"))
+    return good
 
 
 if __name__ == "__main__":
