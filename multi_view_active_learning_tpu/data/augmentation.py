@@ -26,12 +26,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Plain tuple, not jnp.array: a module-level device array would initialize
 # the jax backend (on TPU: connect the device client) as an import side
 # effect — which crashes e.g. a forkserver preload of this module.  jnp ops
 # broadcast the tuple at trace time.
-_GRAY = (0.299, 0.587, 0.114)
+_GRAY = np.asarray((0.299, 0.587, 0.114), dtype=np.float32)
 
 
 def _rotate_bilinear(img: jnp.ndarray, degrees: jnp.ndarray) -> jnp.ndarray:
