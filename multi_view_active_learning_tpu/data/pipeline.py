@@ -161,6 +161,32 @@ import atexit  # noqa: E402  (registered after the definitions it needs)
 atexit.register(shutdown_shared_executors)
 
 
+def _frame_view_keys(frame: dict, data_cfg) -> List[tuple]:
+    """The VIEW_CACHE keys prepare_views_host would use for each view of
+    `frame` (same bbox math), plus the effective entry budget.  Lets the
+    loader detect an all-views-hot frame in THIS process and skip the
+    decode-worker round-trip entirely."""
+    device_crop = getattr(data_cfg, "DEVICE_CROP", False)
+    keys = []
+    for view in frame["views"].values():
+        if device_crop:
+            keys.append((view["path"], "full"))
+            continue
+        bbox = geometry.get_square_bbox(tuple(view["box"]))
+        bbox = geometry.scale_bbox(bbox, data_cfg.SCALE_BBOX)
+        keys.append(
+            (view["path"], tuple(bbox), data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT)
+        )
+    return keys
+
+
+def _effective_cache_size(data_cfg) -> int:
+    size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
+    if getattr(data_cfg, "DEVICE_CROP", False):
+        size //= _DEVICE_CROP_CACHE_DIVISOR
+    return size
+
+
 def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.ndarray]:
     """Prepare every view of one frame on the host.
 
@@ -404,33 +430,78 @@ class FrameLoader:
     def _prepared(self, frames) -> Iterator[Dict]:
         """Per-frame host prep, in order; overlapped across `num_workers`
         processes with a bounded in-flight window (unbounded submission
-        would buffer ~1 MB/frame of decoded views for the whole epoch)."""
+        would buffer ~1 MB/frame of decoded views for the whole epoch).
+
+        Warm-sweep fast path: each worker process owns a PRIVATE
+        VIEW_CACHE and the executor assigns frames to arbitrary workers,
+        so a second sweep over the same pool would still re-decode and
+        re-pickle ~6 MB/frame of views (measured: 3.2 of the 3.85 s/batch
+        warm pool-sweep cost, BENCH_NOTES round 3).  Instead (a) every
+        worker result back-fills the PARENT's VIEW_CACHE, and (b) a frame
+        whose views are all hot in the parent is prepared inline — no
+        decode, no IPC — which is every frame from the second AL-iteration
+        sweep on."""
         ex = self._ensure_executor()
         if ex is None:
             for f in frames:
                 yield prepare_views_host(f, self.data_cfg, self.gt_stride)
             return
+        cache_size = _effective_cache_size(self.data_cfg)
         window = max(2 * self.num_workers, self.batch_size)
-        pending: deque = deque()
+        pending: deque = deque()  # prepared dicts or (future, view_keys)
+
+        def submit(f):
+            if cache_size > 0:
+                keys = _frame_view_keys(f, self.data_cfg)
+                if all(VIEW_CACHE.get(k) is not None for k in keys):
+                    return prepare_views_host(f, self.data_cfg, self.gt_stride)
+            else:
+                keys = None
+            return (
+                ex.submit(prepare_views_host, f, self.data_cfg, self.gt_stride),
+                keys,
+            )
+
+        def resolve(item):
+            if isinstance(item, dict):
+                return item
+            fut, keys = item
+            out = fut.result()
+            if keys is not None:
+                for key, img in zip(keys, out["images"]):
+                    VIEW_CACHE.put(key, img, cache_size)
+            return out
+
         it = iter(frames)
+
+        def fill():
+            # Keep up to `window` WORKER futures in flight, but pause the
+            # lookahead at an inline cache-hit: eager windowing exists to
+            # overlap the worker processes, an inline hit is already done,
+            # and queueing prepared frames ahead only grows the live-buffer
+            # set (measured: the extra live ~6 MB dicts break malloc's
+            # block reuse for the 24 MB batch stacks downstream —
+            # 0.68 s/stack vs 12 ms, BENCH_NOTES round 3).
+            while len(pending) < window:
+                if pending and isinstance(pending[-1], dict):
+                    return
+                try:
+                    f = next(it)
+                except StopIteration:
+                    return
+                pending.append(submit(f))
+
         try:
-            for f in it:
-                pending.append(
-                    ex.submit(prepare_views_host, f, self.data_cfg, self.gt_stride)
-                )
-                if len(pending) >= window:
-                    break
-            for f in it:
-                out = pending.popleft().result()
-                pending.append(
-                    ex.submit(prepare_views_host, f, self.data_cfg, self.gt_stride)
-                )
-                yield out
+            fill()
             while pending:
-                yield pending.popleft().result()
+                out = resolve(pending.popleft())
+                fill()
+                yield out
         finally:
             while pending:
-                pending.popleft().cancel()
+                item = pending.popleft()
+                if not isinstance(item, dict):
+                    item[0].cancel()
 
     def _batches(self) -> Iterator[Dict]:
         frames = self.pool.data[self.shard_index :: self.num_shards]
