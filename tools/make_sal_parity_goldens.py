@@ -1,0 +1,248 @@
+"""END-TO-END sal_dict parity goldens: run the REFERENCE's flagship
+scoring loop (/root/reference/strategy.py:1004-1147 `_compute_sal_dict` —
+CMUPanopticDataset -> DataLoader -> torch PoseResNet-50 -> per-sample
+RANSAC-DLT triangulation -> TRIANGULATION AL metric -> all_gather) on the
+synthetic Panoptic tree with deterministic golden weights, and store the
+resulting sal_dict.
+
+tests/test_sal_parity.py then runs THIS repo's `_compute_sal_dict`
+(one jitted score_step per batch) on the same tree with the same weights
+(converted via models/convert.py) and compares guid by guid — proving the
+whole flagship loop end to end: JSON indexing, guid format, image pipeline,
+model forward, heatmap decode, RANSAC inlier selection, DLT, the metric,
+and the per-frame MKPE.
+
+Requires torch + the reference checkout (this environment has both); the
+test needs neither.  Single process, gloo world-1 process group (the
+reference's all_gather degenerates to identity), .cuda() stubbed to CPU.
+"""
+
+import copy
+import hashlib
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+OUT = os.path.join(REPO, "tests", "fixtures", "sal_dict_goldens.json")
+TREE = "/tmp/mval_sal_parity_tree"
+
+NUM_JOINTS = 19
+NUM_CAMS = 4
+NUM_FRAMES = 8
+WEIGHT_SEED = 20260817  # same as tools/make_model_goldens.py
+
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+# ---- stubs (colorlog / kornia / yacs as in make_model_goldens.py, plus
+# iopath and skimage for strategy.py's module-level imports) --------------
+
+colorlog_stub = types.ModuleType("colorlog")
+
+
+class _Formatter:
+    def __init__(self, *a, **k):
+        pass
+
+    def format(self, record):
+        return str(record)
+
+
+colorlog_stub.ColoredFormatter = _Formatter
+colorlog_stub.basicConfig = lambda *a, **k: None
+sys.modules.setdefault("colorlog", colorlog_stub)
+
+kornia_stub = types.ModuleType("kornia")
+kornia_stub.geometry = types.SimpleNamespace(
+    spatial_soft_argmax2d=lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("kornia stub called")
+    )
+)
+sys.modules.setdefault("kornia", kornia_stub)
+
+
+class _CfgNode(dict):
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+
+yacs_stub = types.ModuleType("yacs")
+yacs_config_stub = types.ModuleType("yacs.config")
+yacs_config_stub.CfgNode = _CfgNode
+yacs_stub.config = yacs_config_stub
+sys.modules.setdefault("yacs", yacs_stub)
+sys.modules.setdefault("yacs.config", yacs_config_stub)
+
+
+class _PathManager:
+    def open(self, path, mode="r", **kwargs):
+        return open(path, mode)
+
+
+iopath_stub = types.ModuleType("iopath")
+iopath_common = types.ModuleType("iopath.common")
+iopath_file_io = types.ModuleType("iopath.common.file_io")
+iopath_file_io.PathManager = _PathManager
+iopath_common.file_io = iopath_file_io
+iopath_stub.common = iopath_common
+sys.modules.setdefault("iopath", iopath_stub)
+sys.modules.setdefault("iopath.common", iopath_common)
+sys.modules.setdefault("iopath.common.file_io", iopath_file_io)
+
+# skimage: strategy.py imports peak_local_max at module level; the
+# TRIANGULATION strategy never calls it.
+skimage_stub = types.ModuleType("skimage")
+skimage_feature = types.ModuleType("skimage.feature")
+skimage_feature.peak_local_max = lambda *a, **k: (_ for _ in ()).throw(
+    RuntimeError("peak_local_max stub called")
+)
+skimage_stub.feature = skimage_feature
+sys.modules.setdefault("skimage", skimage_stub)
+sys.modules.setdefault("skimage.feature", skimage_feature)
+
+sys.path.insert(0, REFERENCE)
+
+import torch  # noqa: E402
+
+torch.Tensor.cuda = lambda self, *a, **k: self  # CPU run
+torch.manual_seed(0)
+
+# The reference's `from torch.utils.tensorboard import summary_writer`
+# (strategy.py:17) targets an older torch; current torch only exports
+# SummaryWriter.  The TRIANGULATION scoring path never logs, so a
+# callable stub suffices.
+import torch.utils.tensorboard as _tb  # noqa: E402
+
+if not hasattr(_tb, "summary_writer"):
+    _tb.summary_writer = _tb.SummaryWriter
+
+
+def tree_checksum(tree: str) -> str:
+    """Checksum of one JPEG so the test can detect an encoder drift (a
+    different PIL would re-render different bytes) and skip, not fail."""
+    first = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tree)
+        for f in fs
+        if f.endswith(".jpg")
+    )[0]
+    return hashlib.sha256(open(first, "rb").read()).hexdigest()
+
+
+def main():
+    # --- the synthetic tree, via this repo's generator (deterministic) ---
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+
+    import shutil
+
+    shutil.rmtree(TREE, ignore_errors=True)
+    generate_panoptic_tree(
+        TREE, num_train_frames=NUM_FRAMES, num_val_frames=2,
+        num_joints=NUM_JOINTS, num_cameras=NUM_CAMS,
+    )
+
+    # --- reference stack -------------------------------------------------
+    from config import get_default_configs as ref_configs  # noqa: E402
+    from dataset.panoptic_dataset import CMUPanopticDataset  # noqa: E402
+    from pose_estimators.pose_resnet import PoseResNet  # noqa: E402
+    from strategy import ActiveLearningStrategy as RefStrategy  # noqa: E402
+    from torch.utils.data import DataLoader  # noqa: E402
+
+    from helpers import golden_fill_values  # noqa: E402
+
+    if not torch.distributed.is_initialized():
+        torch.distributed.init_process_group(
+            "gloo", init_method="tcp://localhost:29517",
+            world_size=1, rank=0,
+        )
+
+    cfg = ref_configs()
+    cfg.NUM_GPUS = 1
+    cfg.DATA.TYPE = "panoptic"
+    cfg.DATA.NUM_JOINTS = NUM_JOINTS
+    cfg.DATA.PANOPTIC.HOME = TREE
+    cfg.DATA.PANOPTIC.LABEL_PATH = os.path.join(TREE, "labels.json")
+    cfg.DATA.PANOPTIC.GT_BOXES = os.path.join(TREE, "boxes.json")
+    cfg.DATA.PANOPTIC.TRAIN_VAL_SPLIT = os.path.join(TREE, "split.json")
+    cfg.AL.STRATEGY = "TRIANGULATION"
+
+    dataset = CMUPanopticDataset(
+        cfg.DATA, cfg.POSE_ESTIMATOR.STRIDE, split="train"
+    )
+    assert len(dataset.unlabeled_data) == NUM_FRAMES
+    dataset.resample_unlabeled_data()
+    loader = DataLoader(dataset, batch_size=2, num_workers=0)
+
+    model = PoseResNet(num_joints=NUM_JOINTS, num_layers=50)
+    names, shapes = [], []
+    for name, tensor in model.state_dict().items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        names.append(name)
+        shapes.append(tuple(tensor.shape))
+    values = golden_fill_values(names, shapes, WEIGHT_SEED)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in values.items()}, strict=False
+    )
+    assert not unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing)
+    model.eval()
+
+    strategy = RefStrategy(cfg)
+    sal_dict = strategy._compute_sal_dict(loader, model)
+    assert len(sal_dict["al_metric"]) == NUM_FRAMES
+
+    golden = {
+        "meta": {
+            "num_joints": NUM_JOINTS,
+            "num_cams": NUM_CAMS,
+            "num_frames": NUM_FRAMES,
+            "weight_seed": WEIGHT_SEED,
+            "tree_checksum": tree_checksum(TREE),
+            "reference": "/root/reference/strategy.py:1004-1147",
+        },
+        # torch state_dict names/shapes: the test regenerates the same
+        # weights via helpers.golden_fill_values without importing torch.
+        "weights": {"names": names, "shapes": shapes},
+        "sal_dict": {
+            key: dict(val) for key, val in sal_dict.items()
+        },
+    }
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(golden, f)
+    print("wrote %s" % OUT)
+    for guid in sal_dict["al_metric"]:
+        print(
+            "%s: metric %.6f inliers %d mkpe %.4f"
+            % (
+                guid,
+                sal_dict["al_metric"][guid],
+                int(sal_dict["inlier_count"][guid]),
+                sal_dict["mkpe"][guid],
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
