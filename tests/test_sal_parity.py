@@ -2,15 +2,16 @@
 
 tools/make_sal_parity_goldens.py ran the reference's `_compute_sal_dict`
 (/root/reference/strategy.py:1004-1147: CMUPanopticDataset -> DataLoader ->
-torch PoseResNet-50 -> per-sample RANSAC-DLT triangulation -> TRIANGULATION
-AL metric) on a deterministic synthetic Panoptic tree with golden weights
-and stored the resulting sal_dict.  Here the SAME tree is regenerated, the
-SAME weights are pushed through models/convert.py into the Flax model, and
-this repo's `_compute_sal_dict` (one jitted score_step per fixed-shape
-batch, strategy.py) must agree guid by guid — proving the whole flagship
-loop end to end: JSON indexing, guid format, host image pipeline (PIL
-decode, BGR flip, square+scale bbox crop, LANCZOS resize), model forward,
-heatmap argmax decode, all-pairs RANSAC inlier selection, DLT, the
+torch PoseResNet-50 / HRNet-W32 -> per-sample RANSAC-DLT triangulation ->
+TRIANGULATION AL metric, gloo world-1) on a deterministic synthetic
+Panoptic tree with golden weights and stored the resulting sal_dicts.
+Here the SAME tree is regenerated, the SAME weights are pushed through
+models/convert.py into the Flax models, and this repo's
+`_compute_sal_dict` (one jitted score_step per fixed-shape batch,
+strategy.py) must agree guid by guid — proving the whole flagship loop end
+to end: JSON indexing, guid format, host image pipeline (PIL decode, BGR
+flip, square+scale bbox crop, LANCZOS resize), model forward, heatmap
+argmax decode, all-pairs RANSAC inlier selection, DLT, the
 reprojection-error AL metric, and the per-frame MKPE.
 
 The component-level goldens (tests/test_parity_goldens.py) pin each stage;
@@ -29,7 +30,7 @@ from helpers import golden_fill_values
 from multi_view_active_learning_tpu.config import get_default_configs
 from multi_view_active_learning_tpu.models import convert
 
-pytestmark = pytest.mark.heavy  # fresh 256x256 ResNet-50 compile
+pytestmark = pytest.mark.heavy  # fresh 256x256 model compiles
 
 GOLDENS = os.path.join(
     os.path.dirname(__file__), "fixtures", "sal_dict_goldens.json"
@@ -55,12 +56,11 @@ def _first_jpeg_checksum(tree: str) -> str:
     return hashlib.sha256(open(first, "rb").read()).hexdigest()
 
 
-def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
-    from multi_view_active_learning_tpu.data import build_dataset
+@pytest.fixture(scope="module")
+def sal_tree(golden, tmp_path_factory):
     from multi_view_active_learning_tpu.data.synthetic import (
         generate_panoptic_tree,
     )
-    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 
     meta = golden["meta"]
     tree = str(tmp_path_factory.mktemp("sal_tree"))
@@ -74,7 +74,14 @@ def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
     if _first_jpeg_checksum(tree) != meta["tree_checksum"]:
         pytest.skip("JPEG encoder drift: tree bytes differ from the ones "
                     "the reference scored; regenerate the goldens")
+    return tree
 
+
+def _run_parity(golden, tree, tag, model_type, tmp_path_factory):
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    meta = golden["meta"]
     cfg = get_default_configs()
     cfg.DATA.TYPE = "synthetic"
     cfg.DATA.SYNTHETIC_ROOT = tree
@@ -83,7 +90,7 @@ def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
     # differences); parity vs the reference's PIL pipeline needs the
     # byte-exact PIL path.
     cfg.DATA.USE_NATIVE_LOADER = False
-    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.TYPE = model_type
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.INT8_SCORING = False  # bit-float parity vs the reference
@@ -101,13 +108,12 @@ def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
     pool = build_dataset(cfg, "train")
     pool.resample_unlabeled_data()
 
-    w = golden["weights"]
+    entry = golden["models"][tag]
+    w = entry["weights"]
     values = golden_fill_values(
         w["names"], [tuple(s) for s in w["shapes"]], int(meta["weight_seed"])
     )
-    params, batch_stats = convert.torch_state_dict_to_flax(
-        values, "POSE_RESNET"
-    )
+    params, batch_stats = convert.torch_state_dict_to_flax(values, model_type)
     state = strategy.new_state()
     ref_params = jax.tree_util.tree_map(
         np.asarray, jax.device_get(state.params)
@@ -122,7 +128,7 @@ def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
     state = state.replace(params=ref_params, batch_stats=ref_stats)
 
     sal = strategy._compute_sal_dict(pool, state)
-    gold = golden["sal_dict"]
+    gold = entry["sal_dict"]
 
     # Identical guid inventory (pose/frame-id formatting, JSON indexing).
     assert set(sal["al_metric"]) == set(gold["al_metric"])
@@ -146,3 +152,16 @@ def test_compute_sal_dict_matches_reference(golden, tmp_path_factory):
             atol=5e-2,
             err_msg=guid,
         )
+
+
+def test_sal_dict_matches_reference_pose_resnet50(
+    golden, sal_tree, tmp_path_factory
+):
+    _run_parity(golden, sal_tree, "pose_resnet50", "POSE_RESNET",
+                tmp_path_factory)
+
+
+def test_sal_dict_matches_reference_hrnet_w32(
+    golden, sal_tree, tmp_path_factory
+):
+    _run_parity(golden, sal_tree, "hrnet_w32", "HRNET", tmp_path_factory)

@@ -193,25 +193,9 @@ def main():
     dataset.resample_unlabeled_data()
     loader = DataLoader(dataset, batch_size=2, num_workers=0)
 
-    model = PoseResNet(num_joints=NUM_JOINTS, num_layers=50)
-    names, shapes = [], []
-    for name, tensor in model.state_dict().items():
-        if name.endswith("num_batches_tracked"):
-            continue
-        names.append(name)
-        shapes.append(tuple(tensor.shape))
-    values = golden_fill_values(names, shapes, WEIGHT_SEED)
-    missing, unexpected = model.load_state_dict(
-        {k: torch.from_numpy(v) for k, v in values.items()}, strict=False
-    )
-    assert not unexpected
-    assert all(m.endswith("num_batches_tracked") for m in missing)
-    model.eval()
+    from pose_estimators.hrnet import PoseHighResolutionNet  # noqa: E402
 
     strategy = RefStrategy(cfg)
-    sal_dict = strategy._compute_sal_dict(loader, model)
-    assert len(sal_dict["al_metric"]) == NUM_FRAMES
-
     golden = {
         "meta": {
             "num_joints": NUM_JOINTS,
@@ -221,27 +205,49 @@ def main():
             "tree_checksum": tree_checksum(TREE),
             "reference": "/root/reference/strategy.py:1004-1147",
         },
-        # torch state_dict names/shapes: the test regenerates the same
-        # weights via helpers.golden_fill_values without importing torch.
-        "weights": {"names": names, "shapes": shapes},
-        "sal_dict": {
-            key: dict(val) for key, val in sal_dict.items()
-        },
+        "models": {},
     }
+    for tag, model in (
+        ("pose_resnet50", PoseResNet(num_joints=NUM_JOINTS, num_layers=50)),
+        ("hrnet_w32", PoseHighResolutionNet(num_joints=NUM_JOINTS)),
+    ):
+        names, shapes = [], []
+        for name, tensor in model.state_dict().items():
+            if name.endswith("num_batches_tracked"):
+                continue
+            names.append(name)
+            shapes.append(tuple(tensor.shape))
+        values = golden_fill_values(names, shapes, WEIGHT_SEED)
+        missing, unexpected = model.load_state_dict(
+            {k: torch.from_numpy(v) for k, v in values.items()}, strict=False
+        )
+        assert not unexpected
+        assert all(m.endswith("num_batches_tracked") for m in missing)
+        model.eval()
+
+        sal_dict = strategy._compute_sal_dict(loader, model)
+        assert len(sal_dict["al_metric"]) == NUM_FRAMES
+        golden["models"][tag] = {
+            # torch state_dict names/shapes: the test regenerates the same
+            # weights via helpers.golden_fill_values without torch.
+            "weights": {"names": names, "shapes": shapes},
+            "sal_dict": {key: dict(val) for key, val in sal_dict.items()},
+        }
+        for guid in sal_dict["al_metric"]:
+            print(
+                "%s %s: metric %.6f inliers %d mkpe %.4f"
+                % (
+                    tag,
+                    guid,
+                    sal_dict["al_metric"][guid],
+                    int(sal_dict["inlier_count"][guid]),
+                    sal_dict["mkpe"][guid],
+                )
+            )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(golden, f)
     print("wrote %s" % OUT)
-    for guid in sal_dict["al_metric"]:
-        print(
-            "%s: metric %.6f inliers %d mkpe %.4f"
-            % (
-                guid,
-                sal_dict["al_metric"][guid],
-                int(sal_dict["inlier_count"][guid]),
-                sal_dict["mkpe"][guid],
-            )
-        )
 
 
 if __name__ == "__main__":
