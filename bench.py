@@ -151,7 +151,13 @@ def main():
     )
     valid = jnp.ones((BATCH, NUM_JOINTS), bool)
     gt = jnp.asarray(rng.normal(size=(BATCH, NUM_JOINTS, 3)).astype(np.float32))
-    pairs = jnp.asarray(triangulate.all_view_pairs(NUM_VIEWS))
+    # Pair budget follows the product config (AL.RANSAC_N_ITERS; -1 = all
+    # C(V,2) pairs).  BENCH_PAIRS overrides, e.g. 64 = the reference's own
+    # default RANSAC budget (reference utils/triangulation.py:176).
+    cfg.AL.RANSAC_N_ITERS = int(
+        os.environ.get("BENCH_PAIRS", str(cfg.AL.RANSAC_N_ITERS))
+    )
+    pairs = jnp.asarray(engine.pairs(NUM_VIEWS))
     key = jax.random.PRNGKey(1)
 
     # Static activation scales for int8 scoring (None when BENCH_INT8 off).

@@ -72,11 +72,15 @@ class ALConfig:
     # Beyond-reference: weight the DLT refit by per-view heatmap peak
     # confidence (weighted least squares).  Off by default for parity.
     CONFIDENCE_WEIGHTED_DLT: bool = False
-    # RANSAC budget: number of view pairs per joint.  -1 means all C(V,2)
-    # pairs (exact, deterministic — the TPU-native default); a positive value
-    # subsamples with a seeded permutation like the reference's shuffle
-    # (reference: utils/triangulation.py:279-282).
-    RANSAC_N_ITERS: int = -1
+    # RANSAC budget: number of view pairs per joint.  64 is the reference's
+    # own default (utils/triangulation.py:176); when C(V,2) <= 64 every pair
+    # is used (exact), otherwise a seeded permutation picks 64 — one static
+    # subset for all joints/frames (the reference re-shuffles per call,
+    # utils/triangulation.py:279-282, which a fixed-shape compiled program
+    # cannot; statistically equivalent, and deterministic here).  -1 = all
+    # C(V,2) pairs: the exactness upgrade, ~5% slower on 31-view scoring
+    # (280 -> 267 fps, BENCH_NOTES round 3).
+    RANSAC_N_ITERS: int = 64
     RANSAC_EPSILON: float = 5.0
     INFERENCE: ALInferenceConfig = field(default_factory=ALInferenceConfig)
     CLUSTER: ALClusterConfig = field(default_factory=ALClusterConfig)

@@ -73,6 +73,26 @@ def test_hrnet_ih26m_joint_count():
     assert out.shape == (1, 16, 16, 42)
 
 
+def test_hrnet_w48_width_plumbing():
+    """HRNet widths are config-driven (reference hrnet.py:293-533 builds
+    stages from cfg): a W48 variant ([48, 96, 192, 384] branch channels)
+    must plumb through the transitions and exchange units.  Module counts
+    are cut to 1 — repetition adds compile time, not coverage; the width
+    plumbing (transition convs, fuse-layer channel matching) is what W48
+    support means."""
+    model = PoseHighResolutionNet(
+        num_joints=19,
+        stage2=(1, 2, "BASIC", (4, 4), (48, 96)),
+        stage3=(1, 3, "BASIC", (4, 4, 4), (48, 96, 192)),
+        stage4=(1, 4, "BASIC", (4, 4, 4, 4), (48, 96, 192, 384)),
+    )
+    out, variables, _ = _init_and_apply(model, (1, 64, 64, 3))
+    assert out.shape == (1, 16, 16, 19)
+    # the highest-res branch (and hence the final conv input) is 48-wide
+    w = np.asarray(variables["params"]["final_layer"]["kernel"])
+    assert w.shape[2] == 48
+
+
 def test_hrnet_conv_init_std():
     model = PoseHighResolutionNet(num_joints=4)
     _, variables, _ = _init_and_apply(model, (1, 64, 64, 3))
