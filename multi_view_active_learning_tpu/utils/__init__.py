@@ -12,6 +12,32 @@ _FORMAT = "%(asctime)s %(levelname).1s %(name)s] %(message)s"
 _configured = False
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache through the config API.
+
+    Env vars (JAX_COMPILATION_CACHE_DIR, ...) are read once at jax-import
+    time; in environments where jax is pre-imported by a site hook, setting
+    them from Python is silently too late.  Routing through
+    jax.config.update works at any point before (and even between)
+    compilations.  `path` defaults to $JAX_COMPILATION_CACHE_DIR or a
+    per-platform /tmp directory.  Safe to call repeatedly."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path is None:
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+        path = "/tmp/jax_cache_tpu" if platform == "tpu" else "/tmp/jax_cache"
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def get_logger(name: str = "mval_tpu", level: int = logging.INFO) -> logging.Logger:
     """Process-aware logger: non-zero JAX process indices log at WARNING,
     mirroring the reference's rank-gated console levels

@@ -33,7 +33,7 @@ from . import config as config_lib
 from .data import build_dataset
 from .parallel import mesh_from_config
 from .strategy import ActiveLearningStrategy
-from .utils import get_logger
+from .utils import enable_compilation_cache, get_logger
 from .utils import checkpoint as ckpt
 
 
@@ -218,6 +218,10 @@ def main(argv=None) -> FlowOutput | None:
     if args.config_file:
         cfg.merge_from_file(args.config_file)
 
+    # First-time jit compiles cost minutes on small hosts; the persistent
+    # cache makes repeat experiment launches start in seconds.  Forced via
+    # the config API because env vars are too late once jax is imported.
+    enable_compilation_cache()
     logger = get_logger("workflow")
     logger.info("Merged configuration from %s." % (args.config_file or "<defaults>"))
     logger.info("Experiment type: %s" % cfg.EXPR_TYPE)

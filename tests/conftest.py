@@ -23,9 +23,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # A site hook pre-imports jax at interpreter startup with the driver's
-# JAX_PLATFORMS=axon already parsed, so the env override above is too late
-# for the config default — force it through the config API as well (still
-# before any backend initializes).
+# JAX_PLATFORMS=axon already parsed, so the env overrides above are too late
+# for the config defaults — force them through the config API as well (still
+# before any backend initializes).  This matters most for the compilation
+# cache: without it every pytest process recompiles every train/score step
+# from scratch (the cache env vars above are read at jax-import time, which
+# the site hook has already passed), and the warm fast suite measures 14
+# minutes of XLA compiles instead of ~4 of test logic.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -41,9 +41,14 @@ def main():
                              "calibrates on the bench batch first)")
     args = parser.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
     import jax
     import jax.numpy as jnp
+
+    from multi_view_active_learning_tpu.utils import enable_compilation_cache
+
+    # Via the config API — env vars are too late once jax is imported (a
+    # site hook imports it at interpreter startup here).
+    enable_compilation_cache()
 
     from multi_view_active_learning_tpu.config import get_default_configs
     from multi_view_active_learning_tpu.engine import Engine

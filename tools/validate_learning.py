@@ -43,6 +43,9 @@ def main():
     from multi_view_active_learning_tpu.data import build_dataset
     from multi_view_active_learning_tpu.data.synthetic import generate_panoptic_tree
     from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+    from multi_view_active_learning_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from multi_view_active_learning_tpu.utils import checkpoint as ckpt
 
     tree = generate_panoptic_tree(
