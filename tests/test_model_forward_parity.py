@@ -38,7 +38,7 @@ def _json_field(goldens, key):
     return json.loads(bytes(goldens[key]).decode())
 
 
-def _run_parity(goldens, tag, model_type, rtol):
+def _run_parity(goldens, tag, model_type, rtol, num_layers=50):
     names = _json_field(goldens, "%s_names" % tag)
     shapes = _json_field(goldens, "%s_shapes" % tag)
     values = golden_fill_values(names, shapes, int(goldens["weight_seed"]))
@@ -47,7 +47,7 @@ def _run_parity(goldens, tag, model_type, rtol):
     cfg = get_default_configs()
     cfg.DATA.NUM_JOINTS = int(goldens["num_joints"])
     cfg.POSE_ESTIMATOR.TYPE = model_type
-    cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = num_layers
     cfg.TPU.COMPUTE_DTYPE = "float32"
     model = build_model(cfg)
 
@@ -94,6 +94,12 @@ def _run_parity(goldens, tag, model_type, rtol):
 
 def test_pose_resnet50_forward_matches_reference(goldens):
     _run_parity(goldens, "pose_resnet50", "POSE_RESNET", rtol=1e-4)
+
+
+def test_pose_resnet18_forward_matches_reference(goldens):
+    """BasicBlock trunk (reference pose_resnet.py:19-25 spec table) — a
+    different residual topology than the Bottleneck-50 case above."""
+    _run_parity(goldens, "pose_resnet18", "POSE_RESNET", rtol=1e-4, num_layers=18)
 
 
 def test_hrnet_w32_forward_matches_reference(goldens):

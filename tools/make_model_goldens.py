@@ -85,7 +85,16 @@ sys.path.insert(0, REFERENCE)
 import torch  # noqa: E402
 
 from pose_estimators.hrnet import PoseHighResolutionNet  # noqa: E402
+from pose_estimators import pose_resnet as _ref_pose_resnet  # noqa: E402
 from pose_estimators.pose_resnet import PoseResNet  # noqa: E402
+
+# Reference bug: BasicBlock (pose_resnet.py:156) is missing the
+# `expansion = 1` class attribute, so the reference's OWN 18/34 variants
+# crash in _make_layer (pose_resnet.py:71).  torchvision semantics (which
+# the spec table at pose_resnet.py:19-25 copies) define expansion=1 for
+# BasicBlock; patch it in so the intended-architecture golden can be made.
+if not hasattr(_ref_pose_resnet.BasicBlock, "expansion"):
+    _ref_pose_resnet.BasicBlock.expansion = 1
 
 from helpers import golden_fill_values  # noqa: E402  (tests/helpers.py)
 
@@ -140,6 +149,11 @@ def main():
     }
     make_golden(
         PoseResNet(num_joints=NUM_JOINTS, num_layers=50), "pose_resnet50", goldens
+    )
+    # 18 covers the BasicBlock trunk (reference pose_resnet.py:19-25 spec
+    # table) — a different residual topology than Bottleneck-50.
+    make_golden(
+        PoseResNet(num_joints=NUM_JOINTS, num_layers=18), "pose_resnet18", goldens
     )
     make_golden(PoseHighResolutionNet(num_joints=NUM_JOINTS), "hrnet_w32", goldens)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
