@@ -31,12 +31,11 @@ import numpy as np
 # exported by the caller — the driver runs plain `python bench.py`) would be
 # read too late.  First-time compiles on this 1-core host cost minutes;
 # cached runs start timing in seconds.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu"),
+from multi_view_active_learning_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_FPS = 8.0
 NUM_VIEWS = int(os.environ.get("BENCH_VIEWS", "31"))

@@ -84,7 +84,8 @@ VIEW_CACHE = _ViewCache()
 _DEVICE_CROP_CACHE_DIVISOR = 32
 
 
-_SHARED_EXECUTORS: Dict[int, ProcessPoolExecutor] = {}
+_SHARED_EXECUTOR: ProcessPoolExecutor | None = None
+_SHARED_EXECUTOR_SIZE = 0
 _SHARED_EXECUTORS_LOCK = threading.Lock()
 
 
@@ -109,7 +110,10 @@ def _main_module_reimportable() -> bool:
 
 
 def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
-    """Process-wide decode worker pool, one per worker count.
+    """THE process-wide decode worker pool, grown to the largest worker
+    count ever requested (train and scoring loaders with different
+    NUM_WORKERS share one pool rather than keeping two resident pools of
+    workers, each warming a private multi-GB VIEW_CACHE copy).
 
     Forking lazily from a loader's prefetch thread is unsafe: the parent
     already runs device-client/gRPC and prefetch threads, and a child forked
@@ -122,8 +126,16 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
     process rather than re-created per FrameLoader).  Falls back to 'spawn'
     where forkserver is unavailable.
     """
+    global _SHARED_EXECUTOR, _SHARED_EXECUTOR_SIZE
     with _SHARED_EXECUTORS_LOCK:
-        ex = _SHARED_EXECUTORS.get(num_workers)
+        ex = _SHARED_EXECUTOR
+        if ex is None or _SHARED_EXECUTOR_SIZE < num_workers:
+            if ex is not None:
+                # Grow: retire the smaller pool.  wait=False lets already
+                # submitted decodes finish (their futures stay valid); only
+                # new submissions move to the bigger pool.
+                ex.shutdown(wait=False)
+            ex = None
         if ex is None:
             ctx = None
             if _main_module_reimportable():
@@ -145,15 +157,18 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
                 except ValueError:
                     ctx = multiprocessing.get_context("spawn")
             ex = ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx)
-            _SHARED_EXECUTORS[num_workers] = ex
+            _SHARED_EXECUTOR = ex
+            _SHARED_EXECUTOR_SIZE = num_workers
         return ex
 
 
 def shutdown_shared_executors() -> None:
+    global _SHARED_EXECUTOR, _SHARED_EXECUTOR_SIZE
     with _SHARED_EXECUTORS_LOCK:
-        for ex in _SHARED_EXECUTORS.values():
-            ex.shutdown(wait=False, cancel_futures=True)
-        _SHARED_EXECUTORS.clear()
+        if _SHARED_EXECUTOR is not None:
+            _SHARED_EXECUTOR.shutdown(wait=False, cancel_futures=True)
+        _SHARED_EXECUTOR = None
+        _SHARED_EXECUTOR_SIZE = 0
 
 
 import atexit  # noqa: E402  (registered after the definitions it needs)
@@ -182,8 +197,10 @@ def _frame_view_keys(frame: dict, data_cfg) -> List[tuple]:
 
 def _effective_cache_size(data_cfg) -> int:
     size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
-    if getattr(data_cfg, "DEVICE_CROP", False):
-        size //= _DEVICE_CROP_CACHE_DIVISOR
+    if size > 0 and getattr(data_cfg, "DEVICE_CROP", False):
+        # Floor at 1: a small positive budget must still cache (a zero here
+        # would silently disable the warm-sweep fast path entirely).
+        size = max(1, size // _DEVICE_CROP_CACHE_DIVISOR)
     return size
 
 
@@ -219,8 +236,7 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             # All camera/keypoint math below is identical — it depends on
             # the bbox, not on the pixels.
             cache_key = (view["path"], "full")
-            cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
-            cache_size //= _DEVICE_CROP_CACHE_DIVISOR
+            cache_size = _effective_cache_size(data_cfg)
             image = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
             if image is None:
                 with open(view["path"], "rb") as f:
@@ -400,8 +416,41 @@ class FrameLoader:
         self._executor: ProcessPoolExecutor | None = None
 
     def __len__(self) -> int:
-        n = len(self.pool.data[self.shard_index :: self.num_shards])
+        if self.num_shards > 1:
+            # Every shard emits the LONGEST shard's batch count: in a
+            # multi-process run each batch is one collective step, so a
+            # process with fewer frames must keep stepping with padded
+            # (frame_valid=False) batches or the other processes deadlock
+            # in the collectives — the DistributedSampler-padding
+            # equivalent (reference: strategy.py:753).
+            n = (len(self.pool.data) + self.num_shards - 1) // self.num_shards
+        else:
+            n = len(self.pool.data)
         return (n + self.batch_size - 1) // self.batch_size
+
+    def global_batch_layout(self, batch_index: int):
+        """(guids, frame_valid) for EVERY shard's `batch_index`-th batch,
+        concatenated in shard order — the host-side key layout matching a
+        global device array assembled from the per-process batches
+        (strategy._put row order: process p's rows sit at
+        [p*B_local, (p+1)*B_local)).  Uses only pool metadata, so any
+        process reconstructs every other shard's keys without IO."""
+        B = self.batch_size
+        guids: List[str] = []
+        valid = np.zeros(self.num_shards * B, bool)
+        for shard in range(self.num_shards):
+            frames = self.pool.data[shard :: self.num_shards]
+            start = batch_index * B
+            chunk = [f["guid"] for f in frames[start : start + B]]
+            valid[shard * B : shard * B + len(chunk)] = True
+            pad = (
+                chunk[-1]
+                if chunk
+                else (frames[-1]["guid"] if frames else self.pool.data[0]["guid"])
+            )
+            chunk += [pad] * (B - len(chunk))
+            guids.extend(chunk)
+        return guids, valid
 
     def _ensure_executor(self) -> ProcessPoolExecutor | None:
         """The decode worker pool (the torch DataLoader `num_workers`
@@ -412,7 +461,9 @@ class FrameLoader:
         ever-larger parent per AL iteration, and worker-local caches
         persist across loaders.
         """
-        if self.num_workers > 0 and self._executor is None:
+        if self.num_workers > 0:
+            # Re-fetch every sweep: the shared pool may have been grown (and
+            # the old one retired) by a loader with a larger worker count.
             self._executor = _shared_executor(self.num_workers)
         return self._executor
 
@@ -476,14 +527,22 @@ class FrameLoader:
 
         def fill():
             # Keep up to `window` WORKER futures in flight, but pause the
-            # lookahead at an inline cache-hit: eager windowing exists to
-            # overlap the worker processes, an inline hit is already done,
-            # and queueing prepared frames ahead only grows the live-buffer
-            # set (measured: the extra live ~6 MB dicts break malloc's
-            # block reuse for the 24 MB batch stacks downstream —
-            # 0.68 s/stack vs 12 ms, BENCH_NOTES round 3).
+            # lookahead when every pending item is an inline cache-hit:
+            # eager windowing exists to overlap the worker processes, an
+            # inline hit is already done, and queueing prepared frames ahead
+            # only grows the live-buffer set (measured: the extra live ~6 MB
+            # dicts break malloc's block reuse for the 24 MB batch stacks
+            # downstream — 0.68 s/stack vs 12 ms, BENCH_NOTES round 3).
+            # On a MIXED hot/cold sweep (pool grew since the last one) the
+            # lookahead keeps running while any future is outstanding, so an
+            # interleaved hot frame does not collapse the decode overlap to
+            # one in-flight worker.
             while len(pending) < window:
-                if pending and isinstance(pending[-1], dict):
+                if (
+                    pending
+                    and isinstance(pending[-1], dict)
+                    and all(isinstance(p, dict) for p in pending)
+                ):
                     return
                 try:
                     f = next(it)
@@ -506,15 +565,26 @@ class FrameLoader:
     def _batches(self) -> Iterator[Dict]:
         frames = self.pool.data[self.shard_index :: self.num_shards]
         B = self.batch_size
+        n_batches = len(self)  # equalized across shards when num_shards > 1
         prepared_it = self._prepared(frames)
-        for start in range(0, len(frames), B):
-            prepared = [
-                next(prepared_it) for _ in range(min(B, len(frames) - start))
-            ]
+        pad_frame = None
+        for b in range(n_batches):
+            start = b * B
+            n_real = max(0, min(B, len(frames) - start))
+            prepared = [next(prepared_it) for _ in range(n_real)]
             valid = np.zeros(B, bool)
-            valid[: len(prepared)] = True
-            while len(prepared) < B:  # pad the tail batch to fixed shape
-                prepared.append(prepared[-1])
+            valid[:n_real] = True
+            if prepared:
+                pad_frame = prepared[-1]
+            elif pad_frame is None:
+                # This shard is shorter than the longest one and has no
+                # frames at all — prepare any pool frame once as padding
+                # (every row is frame_valid=False).
+                pad_frame = prepare_views_host(
+                    self.pool.data[0], self.data_cfg, self.gt_stride
+                )
+            while len(prepared) < B:  # pad to fixed shape
+                prepared.append(pad_frame)
             batch = {
                 key: np.stack([p[key] for p in prepared])
                 for key in prepared[0]

@@ -292,7 +292,6 @@ class Engine:
             return None
         return self._int8_calibrate_step(params, batch_stats, images)
 
-    @partial(jax.jit, static_argnames=("self", "use_int8"))
     def forward(
         self, params, batch_stats, images, int8_scales=None, use_int8=None
     ) -> jnp.ndarray:
@@ -308,9 +307,22 @@ class Engine:
         `int8_scales`: static activation-scale table from int8_calibrate
         (None falls back to dynamic scales).  `use_int8` selects the int8
         backbone explicitly; None means the SCORING default
-        (TPU.INT8_SCORING) — eval surfaces pass use_int8_eval."""
+        (TPU.INT8_SCORING) — eval surfaces pass use_int8_eval.
+
+        None is resolved HERE, outside the jit boundary: `use_int8` is a
+        static jit arg, so letting both None and the equal explicit bool
+        reach the cache would compile the identical graph twice (minutes
+        per extra full-network compile on this 1-core host)."""
         if use_int8 is None:
             use_int8 = self.use_int8
+        return self._forward_jit(
+            params, batch_stats, images, int8_scales, bool(use_int8)
+        )
+
+    @partial(jax.jit, static_argnames=("self", "use_int8"))
+    def _forward_jit(
+        self, params, batch_stats, images, int8_scales, use_int8
+    ) -> jnp.ndarray:
         B, V = images.shape[0], images.shape[1]
         flat = self._flatten_normalize(images, use_int8=use_int8)
         if use_int8:

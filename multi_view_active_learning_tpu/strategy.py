@@ -87,6 +87,22 @@ class ActiveLearningStrategy:
 
         return int(self.mesh.shape[parallel.DATA_AXIS])
 
+    def _local_data_parallelism(self) -> int:
+        """The share of the 'data' axis THIS process feeds (per-GPU DDP
+        batch semantics: each process loads batches for its own devices).
+        Equal to the full axis in single-process runs."""
+        data_n = self._data_parallelism()
+        procs = jax.process_count()
+        if procs == 1:
+            return data_n
+        if data_n % procs:
+            raise ValueError(
+                "Mesh 'data' axis (%d) must be divisible by the process "
+                "count (%d) for multi-process batch assembly."
+                % (data_n, procs)
+            )
+        return data_n // procs
+
     def _get_loader(
         self, pool, batch_size: int, num_workers: int | None = None
     ) -> FrameLoader:
@@ -97,16 +113,19 @@ class ActiveLearningStrategy:
 
         `batch_size` is PER-DEVICE, matching the reference's per-GPU DDP
         semantics (workflow.py:133-138: each of NUM_GPUS ranks loads its own
-        BATCH_SIZE batch) — the loader's global batch is scaled by the
-        mesh's 'data' axis so the reference-default configs (BATCH_SIZE=2)
-        engage every device instead of silently running on one."""
+        BATCH_SIZE batch) — the loader's batch is scaled by the number of
+        'data'-axis devices THIS PROCESS feeds, so the reference-default
+        configs (BATCH_SIZE=2) engage every device instead of silently
+        running on one.  Multi-process runs load the LOCAL share only
+        (data_axis // process_count) from their own pool shard; `_put`
+        assembles the global batch across processes."""
         if num_workers is None:
             num_workers = self.al_cfg.TRAIN.NUM_WORKERS
         return FrameLoader(
             pool,
             self.al_cfg.DATA,
             self.al_cfg.POSE_ESTIMATOR.STRIDE,
-            batch_size=batch_size * self._data_parallelism(),
+            batch_size=batch_size * self._local_data_parallelism(),
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
             num_workers=num_workers,
@@ -122,39 +141,67 @@ class ActiveLearningStrategy:
         every device but one idles, so it is a loud warning, not a silent
         fallback (with per-device batch scaling in _get_loader it can only
         happen for hand-built batches).
+
+        Multi-process: `arr` is this process's LOCAL rows (the loader's
+        shard); the returned array is GLOBAL — [B_local x process_count,
+        ...] — assembled via jax.make_array_from_process_local_data.  The
+        mesh's 'data' rows are process-contiguous (jax.devices() orders
+        devices by process), so global row p*B_local+i is process p's row i
+        — the same order FrameLoader.global_batch_layout reconstructs keys
+        in.
         """
         arr = np.asarray(arr)
         if self.mesh is None or np.prod(self.mesh.devices.shape) == 1:
             return jnp.asarray(arr)
         from . import parallel
 
+        procs = jax.process_count()
         data_n, view_n = (
             self.mesh.shape[parallel.DATA_AXIS],
             self.mesh.shape[parallel.VIEW_AXIS],
         )
-        if arr.ndim >= 1 and arr.shape[0] % data_n == 0:
+        data_local = data_n // procs if procs > 1 else data_n
+        if arr.ndim >= 1 and data_local > 0 and arr.shape[0] % data_local == 0:
             if (
                 view_axis
                 and arr.ndim >= 2
                 and view_n > 1
                 and arr.shape[1] % view_n == 0
             ):
-                return jax.device_put(
-                    arr, parallel.batch_sharding(self.mesh, arr.ndim, 1)
+                sharding = parallel.batch_sharding(self.mesh, arr.ndim, 1)
+            else:
+                sharding = parallel.data_sharding(self.mesh, arr.ndim)
+            if procs > 1:
+                global_shape = (arr.shape[0] * procs,) + arr.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    sharding, arr, global_shape
                 )
-            return jax.device_put(
-                arr, parallel.data_sharding(self.mesh, arr.ndim)
-            )
+            return jax.device_put(arr, sharding)
         key = ("unsharded", arr.shape[0] if arr.ndim else 0, data_n)
         if key not in self._warned_shardings:
             self._warned_shardings.add(key)
             self._logger.warning(
-                "Batch dim %s does not divide the mesh 'data' axis (%d): "
-                "placing UNSHARDED — all but one device idle for this array. "
-                "Batch sizes are per-device; check the loader produced "
-                "batch = per_device x data_axis." % (arr.shape[:1], data_n)
+                "Batch dim %s does not divide this process's share of the "
+                "mesh 'data' axis (%d): placing UNSHARDED — all but one "
+                "device idle for this array. Batch sizes are per-device; "
+                "check the loader produced batch = per_device x local share."
+                % (arr.shape[:1], data_local)
             )
         return jnp.asarray(arr)
+
+    def _fetch_global(self, tree):
+        """Device results -> host numpy, whole-array on EVERY process.
+
+        Single-process: plain device_get.  Multi-process: outputs are
+        data-sharded global arrays whose shards live on other hosts too, so
+        device_get would fail — all-gather them instead (every process needs
+        the full pool's metrics for selection, exactly like the reference's
+        sal_dict all_gather, reference: strategy.py:1090-1147)."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        return jax.device_get(multihost_utils.process_allgather(tree, tiled=True))
 
     def _device_images(self, batch: Dict):
         """batch["images"] placed on device; with DATA.DEVICE_CROP the
@@ -400,7 +447,8 @@ class ActiveLearningStrategy:
         n_frames = 0
         pending = []
         int8_scales = None
-        for batch in loader:
+        procs = jax.process_count()
+        for batch_index, batch in enumerate(loader):
             key, skey = jax.random.split(key)
             # Raw uint8 frames: normalization is fused into the scoring
             # executable (engine.forward); no GT heatmaps are rendered.
@@ -429,9 +477,18 @@ class ActiveLearningStrategy:
             # Keep device references; fetch once after the loop so the host
             # never stalls the device between batches (outputs are tiny:
             # O(B*K) floats per batch).
-            pending.append((batch["guid"], batch["frame_valid"], out))
+            if procs > 1:
+                # Global batch: rows span every process's shard.  Keys come
+                # from pool metadata (any process can reconstruct every
+                # shard's guids), values from an all-gather at fetch time —
+                # the reference's sal_dict NCCL all_gather equivalent
+                # (reference: strategy.py:1090-1147).
+                guids, frame_valid = loader.global_batch_layout(batch_index)
+            else:
+                guids, frame_valid = batch["guid"], batch["frame_valid"]
+            pending.append((guids, frame_valid, out))
         for guids, frame_valid, out in pending:
-            out = jax.device_get(out)
+            out = self._fetch_global(out)
             for i, guid in enumerate(guids):
                 if not frame_valid[i]:
                     continue
@@ -611,10 +668,16 @@ class ActiveLearningStrategy:
                                 eval_results["pckh_pcks"],
                             )
                         writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
-                        self._log_train_figures(
-                            writer, metrics["first_heatmap"], images, gt_heat,
-                            global_step,
-                        )
+                        if jax.process_count() == 1:
+                            # Figure rendering fetches data-sharded arrays
+                            # (frame 0's heatmap/image); multi-process would
+                            # need a collective gather inside this
+                            # process-0-only branch (deadlock) — skip the
+                            # diagnostic images there, keep the scalars.
+                            self._log_train_figures(
+                                writer, metrics["first_heatmap"], images,
+                                gt_heat, global_step,
+                            )
                         for k, v in step_timer.summary().items():
                             writer.add_scalar("perf/%s" % k, v, global_step)
                         for dev, stats in profiling.device_memory_stats().items():
@@ -710,11 +773,19 @@ class ActiveLearningStrategy:
                 pairs,
                 int8_scales=int8_scales,
             )
-            kp3d = np.asarray(out["keypoints_3d"])
-            mask = np.asarray(batch["frame_valid"])
+            # Multi-process: device outputs are global arrays and the host
+            # batch holds only this process's rows — gather both sides so
+            # every process evaluates the full validation set (single
+            # process: _fetch_global is a plain device_get / identity).
+            kp3d = np.asarray(self._fetch_global(out["keypoints_3d"]))
+            mask = np.asarray(self._fetch_global(batch["frame_valid"]))
             preds.append(kp3d[mask])
-            gts.append(np.asarray(batch["3d_keypoints"])[mask])
-            valids.append(np.asarray(batch["joint_valid"])[mask].astype(np.float32))
+            gts.append(np.asarray(self._fetch_global(batch["3d_keypoints"]))[mask])
+            valids.append(
+                np.asarray(self._fetch_global(batch["joint_valid"]))[mask].astype(
+                    np.float32
+                )
+            )
         pred = np.concatenate(preds)
         gt = np.concatenate(gts)
         valid = np.concatenate(valids)
@@ -749,13 +820,15 @@ class ActiveLearningStrategy:
             )
             hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
             coords = heatmap_ops.decode_keypoints_bbox(
-                hm_vk, jnp.asarray(batch["square_box"])  # [B, V, 4]
+                hm_vk, self._put(batch["square_box"], view_axis=True)  # [B, V, 4]
             )
-            mask = np.asarray(batch["frame_valid"])
-            kp = np.asarray(coords)[mask].reshape(-1, self.num_joints, 2)
-            gt = np.asarray(batch["2d_after_crop"])[mask].reshape(
+            mask = np.asarray(self._fetch_global(batch["frame_valid"]))
+            kp = np.asarray(self._fetch_global(coords))[mask].reshape(
                 -1, self.num_joints, 2
             )
+            gt = np.asarray(self._fetch_global(batch["2d_after_crop"]))[
+                mask
+            ].reshape(-1, self.num_joints, 2)
             preds.append(kp)
             gts.append(gt)
         pred = np.concatenate(preds)

@@ -28,11 +28,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if path is None:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if path is None:
-        try:
-            platform = jax.default_backend()
-        except Exception:
-            platform = "cpu"
-        path = "/tmp/jax_cache_tpu" if platform == "tpu" else "/tmp/jax_cache"
+        # Derive the default directory from the CONFIGURED platform, never
+        # from jax.default_backend(): that call initializes the backend as
+        # a side effect, which freezes jax_platforms and would lock callers
+        # (e.g. __graft_entry__.dryrun_multichip) out of switching to a
+        # virtual CPU mesh afterwards.
+        platform = (
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS")
+            or ""
+        ).split(",")[0]
+        # The tunneled TPU registers as the "axon" plugin platform.
+        is_tpu = platform in ("tpu", "axon")
+        path = "/tmp/jax_cache_tpu" if is_tpu else "/tmp/jax_cache"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

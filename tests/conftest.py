@@ -33,8 +33,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+
+from multi_view_active_learning_tpu.utils import (  # noqa: E402
+    enable_compilation_cache,
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+enable_compilation_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])

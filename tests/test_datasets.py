@@ -112,6 +112,46 @@ def test_frame_loader_sharding(cfg):
     assert len(per_shard[0] | per_shard[1]) == 4
 
 
+def test_frame_loader_equalized_shards_and_global_layout(cfg):
+    """Multi-process contract: every shard emits the SAME batch count (a
+    short shard pads whole frame_valid=False batches — each batch is one
+    collective step), and global_batch_layout reconstructs every shard's
+    guid rows in the strategy._put process-contiguous order."""
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(0))
+    assert len(ds.data) == 4
+    # 3 shards of a 4-frame pool: lengths 2/1/1; B=2 -> every shard must
+    # emit ceil(ceil(4/3)/2) = 1 batch... use B=1 for a sharper split:
+    # shard 0 has 2 frames -> 2 batches; shards 1, 2 must pad to 2.
+    loaders = [
+        FrameLoader(
+            ds, cfg.DATA, 4, batch_size=1, num_shards=3, shard_index=s,
+            prefetch=0,
+        )
+        for s in range(3)
+    ]
+    assert [len(ld) for ld in loaders] == [2, 2, 2]
+    batch_lists = [list(ld) for ld in loaders]
+    assert all(len(bl) == 2 for bl in batch_lists)
+    # Shards 1 and 2's second batch is pure padding.
+    for s in (1, 2):
+        np.testing.assert_array_equal(
+            batch_lists[s][1]["frame_valid"], [False]
+        )
+    # global_batch_layout row order == concat of the shards' batch rows.
+    for b in range(2):
+        guids, valid = loaders[0].global_batch_layout(b)
+        expect_guids = [
+            g for s in range(3) for g in batch_lists[s][b]["guid"]
+        ]
+        expect_valid = np.concatenate(
+            [batch_lists[s][b]["frame_valid"] for s in range(3)]
+        )
+        assert guids == expect_guids
+        np.testing.assert_array_equal(valid, expect_valid)
+
+
 def test_device_prepare_heatmaps_peak_at_keypoints(cfg):
     ds = build_dataset(cfg, "train")
     frame = next(iter(ds.unlabeled_data.values()))

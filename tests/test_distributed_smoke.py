@@ -21,6 +21,7 @@ import sys
 import tempfile
 import textwrap
 
+import numpy as np
 import pytest
 
 pytestmark = pytest.mark.heavy  # spawns 2 jax processes, fresh compiles
@@ -90,6 +91,121 @@ _WORKER = textwrap.dedent(
 )
 
 
+_SCORING_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.environ["MVAL_REPO"])
+
+    from multi_view_active_learning_tpu.utils import enable_compilation_cache
+    enable_compilation_cache("/tmp/jax_cache")
+
+    from multi_view_active_learning_tpu import parallel
+
+    pid = int(os.environ["MVAL_PROC_ID"])
+    assert parallel.initialize_distributed(
+        coordinator_address=os.environ["MVAL_COORD"],
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2 and len(jax.devices()) == 2
+
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = os.environ["MVAL_TREE"]
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.DATA.INPUT_WIDTH = 32
+    cfg.DATA.INPUT_HEIGHT = 32
+    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.INT8_SCORING = False  # one compiled program per worker
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.INFERENCE.BATCH_SIZE = 1  # per-device
+    cfg.AL.INFERENCE.NUM_WORKERS = 0  # in-process decode: lockstep matters
+    cfg.LOG_DIR = os.environ["MVAL_LOG"]
+    cfg.EXPR_NAME = "DIST-%d" % pid
+
+    # One ('data'=2, 'view'=1) mesh over BOTH processes' devices: each
+    # process loads B=1 local batches from its own pool shard; _put
+    # assembles the global B=2 batch; _fetch_global all-gathers results.
+    mesh = parallel.make_mesh(2, 1)
+    strategy = ActiveLearningStrategy(cfg, mesh)
+    assert strategy._local_data_parallelism() == 1
+
+    pool = build_dataset(cfg, "train")
+    pool.resample_unlabeled_data()
+    all_guids = sorted(f["guid"] for f in pool.data)
+    state = strategy.new_state()
+
+    # The XLA:CPU gloo collectives context does a 30 s key-value exchange
+    # on FIRST use; on this 1-core box the two processes' minutes-long
+    # score_step compiles can skew past that.  So: (1) create the gloo
+    # context NOW with a tiny psum while the processes are still aligned,
+    # (2) AOT-precompile score_step, (3) rendezvous at a KV barrier (no
+    # gloo, generous timeout), and only then execute the sweep in lockstep.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tiny = strategy._put(np.full((1,), pid + 1.0, np.float32))
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(tiny)
+    assert float(np.asarray(jax.device_get(total))) == 3.0
+
+    dummy = {
+        "images": np.zeros((1, 2, 32, 32, 3), np.uint8),
+        "proj": np.zeros((1, 2, 3, 4), np.float32),
+        "jv": np.ones((1, 4), bool),
+        "gt3": np.zeros((1, 4, 3), np.float32),
+    }
+    pairs = jnp.asarray(strategy.engine.pairs(2))
+    # .lower on the jit object does not descriptor-bind self — pass it.
+    lowered = type(strategy.engine).score_step.lower(
+        strategy.engine,
+        state.params,
+        state.batch_stats,
+        strategy._put(dummy["images"], view_axis=True),
+        strategy._put(dummy["proj"], view_axis=True),
+        strategy._put(dummy["jv"]),
+        pairs,
+        strategy._put(dummy["gt3"]),
+        jax.random.PRNGKey(0),
+        al_strategy=cfg.AL.STRATEGY,
+        mpe_aggregate=cfg.AL.MPE_CONFIG,
+        hp_aggregate=cfg.AL.HP_CONFIG,
+        bsb_aggregate=cfg.AL.BSB_CONFIG,
+        int8_scales=None,
+    )
+    lowered.compile()  # populates the in-process jit cache via persistence
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("score_step_compiled", 300_000)
+
+    sal = strategy._compute_sal_dict(pool, state)
+
+    with open(os.environ["MVAL_OUT"], "w") as f:
+        json.dump(
+            {
+                "guids": sorted(sal["al_metric"]),
+                "pool_guids": all_guids,
+                "al_metric": dict(sal["al_metric"]),
+                "inliers": dict(sal["inlier_count"]),
+            },
+            f,
+        )
+    print("scoring proc %d ok" % pid)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -135,3 +251,66 @@ def test_two_process_distributed_smoke(tmp_path):
     assert not shard0 & shard1  # disjoint
     assert shard0 | shard1 == {"g%02d" % i for i in range(7)}  # covering
     assert results[0]["n_batches"] == 2 and results[1]["n_batches"] == 2
+
+
+def test_two_process_pool_scoring(tmp_path):
+    """The flagship scoring sweep (strategy._compute_sal_dict) across TWO
+    real jax processes sharing one ('data'=2, 'view'=1) mesh: each process
+    loads only its pool shard (5 frames -> 3+2, so one process steps
+    through a fully PADDED tail batch), `_put` assembles global batches via
+    make_array_from_process_local_data, and `_fetch_global` all-gathers the
+    per-frame metrics — both processes must end up with the COMPLETE
+    sal_dict, identically (the reference's NCCL sal_dict all_gather,
+    reference: strategy.py:1090-1147)."""
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+
+    tree = generate_panoptic_tree(
+        str(tmp_path / "tree"), num_train_frames=5, num_val_frames=1,
+        num_joints=4, num_cameras=2,
+    )
+    port = _free_port()
+    worker_py = tmp_path / "scoring_worker.py"
+    worker_py.write_text(_SCORING_WORKER)
+    outs = [str(tmp_path / ("score_out%d.json" % i)) for i in range(2)]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            MVAL_REPO=REPO,
+            MVAL_PROC_ID=str(pid),
+            MVAL_COORD="localhost:%d" % port,
+            MVAL_OUT=outs[pid],
+            MVAL_TREE=tree,
+            MVAL_LOG=str(tmp_path / "logs"),
+            JAX_PLATFORMS="cpu",
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+        )
+        env.pop("XLA_FLAGS", None)  # 1 device per process
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker_py)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    r0, r1 = [json.load(open(o)) for o in outs]
+    # Complete: every pool guid scored, on BOTH processes.
+    assert r0["guids"] == r0["pool_guids"] and len(r0["guids"]) == 5
+    # Identical across processes (same global arrays, same all-gather).
+    assert r0["guids"] == r1["guids"]
+    for guid in r0["al_metric"]:
+        assert r0["al_metric"][guid] == r1["al_metric"][guid]
+        assert r0["inliers"][guid] == r1["inliers"][guid]
+    vals = np.asarray(list(r0["al_metric"].values()))
+    assert np.isfinite(vals).all()
