@@ -176,6 +176,22 @@ import atexit  # noqa: E402  (registered after the definitions it needs)
 atexit.register(shutdown_shared_executors)
 
 
+def _jax_backend_initialized() -> bool:
+    """Worker-side probe (tests): decode workers must NEVER initialize an
+    XLA backend — they fork from the preloaded server with jax already
+    imported, and a fork-inherited jax initializing XLA deadlocked the
+    whole scoring sweep intermittently (the trigger was utils.get_logger's
+    jax.process_index() running at native_loader import time in the
+    worker; get_logger now probes backends_are_initialized first)."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    from jax._src import xla_bridge
+
+    return xla_bridge.backends_are_initialized()
+
+
 def _frame_view_keys(frame: dict, data_cfg) -> List[tuple]:
     """The VIEW_CACHE keys prepare_views_host would use for each view of
     `frame` (same bbox math), plus the effective entry budget.  Lets the

@@ -62,9 +62,22 @@ def get_logger(name: str = "mval_tpu", level: int = logging.INFO) -> logging.Log
     logger = logging.getLogger("mval." + name)
     try:
         import jax
+        from jax._src import xla_bridge
 
-        if jax.process_index() != 0:
+        # Only consult the process index when a backend ALREADY exists:
+        # jax.process_index() initializes one as a side effect, and this
+        # runs at module-import time in contexts that must never touch a
+        # backend — e.g. the forked decode workers (native_loader's
+        # module logger), where a fork-inherited jax initializing XLA
+        # deadlocked intermittently (observed: workers asleep pre-task,
+        # whole scoring sweep hung).  Non-zero processes call get_logger
+        # again after jax.distributed.initialize via strategy/workflow,
+        # so rank-gating still engages where it matters.
+        if (
+            xla_bridge.backends_are_initialized()
+            and jax.process_index() != 0
+        ):
             logger.setLevel(logging.WARNING)
-    except Exception:  # jax not initialised yet; keep default level.
+    except Exception:  # jax not importable/initialised; keep default level.
         pass
     return logger

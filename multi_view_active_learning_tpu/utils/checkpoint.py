@@ -25,7 +25,28 @@ _checkpointer = None
 def _ckpt():
     global _checkpointer
     if _checkpointer is None:
-        _checkpointer = ocp.StandardCheckpointer()
+        import jax
+
+        if jax.process_count() > 1:
+            # Process-LOCAL checkpointer.  A stock StandardCheckpointer
+            # syncs every process inside save()/restore(); saves here are
+            # gated to process 0 by the callers (the reference's rank-0
+            # semantics, strategy.py:693-696) and restores read host-local
+            # numpy from the shared filesystem, so a barrier involving the
+            # other processes would pair with whatever collective THEY are
+            # executing (observed: gloo "received data size doesn't match
+            # expected size" aborts in the 2-process training smoke).
+            idx = jax.process_index()
+            _checkpointer = ocp.Checkpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=idx,
+                    active_processes={idx},
+                    barrier_sync_key_prefix="proc%d" % idx,
+                ),
+            )
+        else:
+            _checkpointer = ocp.StandardCheckpointer()
     return _checkpointer
 
 
@@ -53,7 +74,9 @@ def save_checkpoint(path: str, state, epoch: int = 0) -> str:
     # (~25 ms x ~120 leaves measured).
     tree = jax.device_get(tree)
     _ckpt().save(path, tree)
-    _ckpt().wait_until_finished()
+    wait = getattr(_ckpt(), "wait_until_finished", None)
+    if wait is not None:  # the multi-process Checkpointer is synchronous
+        wait()
     _logger.info("Checkpoint saved at %s." % path)
     return path
 
@@ -81,7 +104,13 @@ def restore_checkpoint(path: str, state):
     """Strict full restore into a template TrainState (params + batch stats
     + optimizer state + step)."""
     path = os.path.abspath(path)
-    template = dict(_as_tree(state))
+    import jax
+
+    # Host-numpy template: the restore is a process-local disk read (each
+    # process restores independently in multi-process runs — no barriers,
+    # no sharded-array reconstruction); callers re-place on device via
+    # strategy._maybe_replicate.
+    template = jax.device_get(dict(_as_tree(state)))
     template["epoch"] = 0
     restored = _ckpt().restore(path, template)
     return state.replace(

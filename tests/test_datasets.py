@@ -304,6 +304,33 @@ def test_frame_loader_process_workers_match_inprocess(cfg):
         mp_loader.close()
 
 
+def test_decode_workers_never_initialize_jax(cfg):
+    """Decode workers must never initialize an XLA backend: they fork from
+    a server that already imported jax (the preload), and fork-inherited
+    jax state initializing XLA deadlocked scoring sweeps intermittently
+    (the trigger was a module logger calling jax.process_index() at
+    native_loader import time inside the worker)."""
+    from multi_view_active_learning_tpu.data import pipeline
+
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(0))
+    pipeline.VIEW_CACHE.clear()
+    loader = FrameLoader(
+        ds, cfg.DATA, 4, batch_size=2, prefetch=0, num_workers=2
+    )
+    try:
+        list(loader)  # full decode pass through the worker pool
+        ex = pipeline._shared_executor(2)
+        flags = [
+            ex.submit(pipeline._jax_backend_initialized).result()
+            for _ in range(8)
+        ]
+        assert not any(flags), "a decode worker initialized an XLA backend"
+    finally:
+        loader.close()
+
+
 def test_device_crop_mode_matches_host_crop(cfg):
     """DATA.DEVICE_CROP: the host emits full frames + identical camera math;
     the on-device crop+resize reproduces the host crop up to resampling

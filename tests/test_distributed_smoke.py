@@ -206,6 +206,100 @@ _SCORING_WORKER = textwrap.dedent(
 )
 
 
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.environ["MVAL_REPO"])
+
+    from multi_view_active_learning_tpu.utils import enable_compilation_cache
+    enable_compilation_cache("/tmp/jax_cache")
+
+    from multi_view_active_learning_tpu import parallel
+
+    pid = int(os.environ["MVAL_PROC_ID"])
+    assert parallel.initialize_distributed(
+        coordinator_address=os.environ["MVAL_COORD"],
+        num_processes=2,
+        process_id=pid,
+    )
+
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+
+    cfg = get_default_configs()
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = os.environ["MVAL_TREE"]
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.DATA.INPUT_WIDTH = 32
+    cfg.DATA.INPUT_HEIGHT = 32
+    cfg.DATA.EPOCH_SIZE = 4
+    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.INT8_SCORING = False
+    cfg.TRAIN.BATCH_SIZE = 1      # per-device
+    cfg.TRAIN.VAL_SIZE = 1
+    cfg.TRAIN.NUM_WORKERS = 0
+    cfg.AL.INFERENCE.BATCH_SIZE = 1
+    cfg.AL.INFERENCE.NUM_WORKERS = 0
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 2
+    cfg.TRAIN.LOG_EVERY_ITER = 2  # one eval + checkpoint at step 2
+    cfg.LOG_DIR = os.environ["MVAL_LOG"]
+    cfg.EXPR_NAME = "DIST-TRAIN"
+
+    mesh = parallel.make_mesh(2, 1)
+    strategy = ActiveLearningStrategy(cfg, mesh)
+
+    # Create the gloo collectives context while the processes are aligned
+    # (see the scoring worker: its FIRST use pays a 30 s key-value
+    # exchange), then rendezvous at a KV barrier so the training loop's
+    # compiles start in lockstep.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tiny = strategy._put(np.full((1,), pid + 1.0, np.float32))
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(tiny)
+    assert float(np.asarray(jax.device_get(total))) == 3.0
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("train_start", 300_000)
+
+    train_pool = build_dataset(cfg, "train")
+    val_pool = build_dataset(cfg, "val")
+    train_pool.label_all()
+    state = strategy.new_state()
+    state = strategy._train(-1, cfg, train_pool, val_pool, state)
+    step = int(np.asarray(jax.device_get(state.step)))
+
+    # Both processes evaluate the full (1-frame) validation set: the val
+    # pool shards 1 frame over 2 processes, so one process steps through a
+    # fully PADDED eval batch and the results come back all-gathered.
+    val_loader = strategy._prepare_val_dataset_for_eval(val_pool)
+    res = strategy._evaluate_all(0, state, val_loader)
+
+    ckpt_final = os.path.join(
+        cfg.LOG_DIR, cfg.EXPR_NAME, "checkpoints", "CKPT-FINAL"
+    )
+    with open(os.environ["MVAL_OUT"], "w") as f:
+        json.dump(
+            {
+                "step": step,
+                "mkpe": float(res["mkpe"]),
+                "ckpt_final": os.path.isdir(ckpt_final),
+            },
+            f,
+        )
+    print("train proc %d ok" % pid)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -314,3 +408,59 @@ def test_two_process_pool_scoring(tmp_path):
         assert r0["inliers"][guid] == r1["inliers"][guid]
     vals = np.asarray(list(r0["al_metric"].values()))
     assert np.isfinite(vals).all()
+
+
+def test_two_process_training(tmp_path):
+    """The training loop across TWO real jax processes on one
+    ('data'=2, 'view'=1) mesh: per-process loaders feed the global
+    train_step (GSPMD grad psum across hosts), the log-point eval
+    all-gathers over a val pool so small one process only steps padded
+    batches, and process 0 alone writes checkpoints.  Both processes must
+    agree on the trained step count and the evaluation MKPE."""
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+
+    tree = generate_panoptic_tree(
+        str(tmp_path / "tree"), num_train_frames=4, num_val_frames=1,
+        num_joints=4, num_cameras=2,
+    )
+    port = _free_port()
+    worker_py = tmp_path / "train_worker.py"
+    worker_py.write_text(_TRAIN_WORKER)
+    outs = [str(tmp_path / ("train_out%d.json" % i)) for i in range(2)]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            MVAL_REPO=REPO,
+            MVAL_PROC_ID=str(pid),
+            MVAL_COORD="localhost:%d" % port,
+            MVAL_OUT=outs[pid],
+            MVAL_TREE=tree,
+            MVAL_LOG=str(tmp_path / "logs"),
+            JAX_PLATFORMS="cpu",
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+        )
+        env.pop("XLA_FLAGS", None)  # 1 device per process
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker_py)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    r0, r1 = [json.load(open(o)) for o in outs]
+    assert r0["step"] == 2 and r1["step"] == 2
+    assert np.isfinite(r0["mkpe"]) and r0["mkpe"] == r1["mkpe"]
+    # Process 0 wrote the checkpoint; both see it on the (shared) log dir.
+    assert r0["ckpt_final"] and r1["ckpt_final"]
