@@ -304,6 +304,33 @@ def test_frame_loader_process_workers_match_inprocess(cfg):
         mp_loader.close()
 
 
+def test_shared_executor_grows_and_loaders_refetch(cfg):
+    """One process-wide decode pool, grown to the largest worker count
+    ever requested: a bigger request retires the old pool (in-flight
+    futures stay valid), and existing loaders re-fetch the current pool
+    each sweep instead of submitting to the retired one."""
+    from multi_view_active_learning_tpu.data import pipeline
+
+    pipeline.shutdown_shared_executors()  # order-independence: fresh pool
+    small = pipeline._shared_executor(1)
+    again = pipeline._shared_executor(1)
+    assert small is again  # same count -> same pool
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(0))
+    loader = FrameLoader(
+        ds, cfg.DATA, 4, batch_size=2, prefetch=0, num_workers=1
+    )
+    assert loader._ensure_executor() is small
+    big = pipeline._shared_executor(2)
+    assert big is not small
+    assert pipeline._shared_executor(1) is big  # smaller requests reuse it
+    assert loader._ensure_executor() is big  # loader re-fetched
+    pipeline.VIEW_CACHE.clear()
+    batches = list(loader)  # decodes through the grown pool
+    assert sum(int(v) for b in batches for v in b["frame_valid"]) == 4
+
+
 def test_decode_workers_never_initialize_jax(cfg):
     """Decode workers must never initialize an XLA backend: they fork from
     a server that already imported jax (the preload), and fork-inherited
