@@ -86,6 +86,7 @@ _DEVICE_CROP_CACHE_DIVISOR = 32
 
 _SHARED_EXECUTOR: ProcessPoolExecutor | None = None
 _SHARED_EXECUTOR_SIZE = 0
+_RETIRED_EXECUTORS: List[ProcessPoolExecutor] = []
 _SHARED_EXECUTORS_LOCK = threading.Lock()
 
 
@@ -131,10 +132,13 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
         ex = _SHARED_EXECUTOR
         if ex is None or _SHARED_EXECUTOR_SIZE < num_workers:
             if ex is not None:
-                # Grow: retire the smaller pool.  wait=False lets already
-                # submitted decodes finish (their futures stay valid); only
-                # new submissions move to the bigger pool.
-                ex.shutdown(wait=False)
+                # Grow: retire the smaller pool WITHOUT shutting it down —
+                # a sweep mid-iteration still holds it (its _prepared
+                # captured the executor once), and submit-after-shutdown
+                # raises into that sweep's prefetch thread.  The retired
+                # pool idles (workers block on an empty queue) until
+                # process exit; new sweeps re-fetch the bigger pool.
+                _RETIRED_EXECUTORS.append(ex)
             ex = None
         if ex is None:
             ctx = None
@@ -167,6 +171,9 @@ def shutdown_shared_executors() -> None:
     with _SHARED_EXECUTORS_LOCK:
         if _SHARED_EXECUTOR is not None:
             _SHARED_EXECUTOR.shutdown(wait=False, cancel_futures=True)
+        for ex in _RETIRED_EXECUTORS:
+            ex.shutdown(wait=False, cancel_futures=True)
+        _RETIRED_EXECUTORS.clear()
         _SHARED_EXECUTOR = None
         _SHARED_EXECUTOR_SIZE = 0
 
@@ -444,6 +451,23 @@ class FrameLoader:
             n = len(self.pool.data)
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _shard_guid_lists(self) -> List[List[str]]:
+        """Per-shard guid lists, memoized per pool-data snapshot: the
+        scoring loop asks for a layout once per batch, and re-slicing the
+        whole pool for every shard each time is O(pool^2/batch) on big
+        pools.  pool.data is REBOUND (never mutated) by the resample
+        methods, so identity is a sound cache key."""
+        key = (id(self.pool.data), len(self.pool.data))
+        cached = getattr(self, "_shard_guids_cache", None)
+        if cached is None or cached[0] != key:
+            lists = [
+                [f["guid"] for f in self.pool.data[s :: self.num_shards]]
+                for s in range(self.num_shards)
+            ]
+            self._shard_guids_cache = (key, lists)
+            return lists
+        return cached[1]
+
     def global_batch_layout(self, batch_index: int):
         """(guids, frame_valid) for EVERY shard's `batch_index`-th batch,
         concatenated in shard order — the host-side key layout matching a
@@ -454,15 +478,16 @@ class FrameLoader:
         B = self.batch_size
         guids: List[str] = []
         valid = np.zeros(self.num_shards * B, bool)
+        shard_guids = self._shard_guid_lists()
         for shard in range(self.num_shards):
-            frames = self.pool.data[shard :: self.num_shards]
+            frames = shard_guids[shard]
             start = batch_index * B
-            chunk = [f["guid"] for f in frames[start : start + B]]
+            chunk = list(frames[start : start + B])
             valid[shard * B : shard * B + len(chunk)] = True
             pad = (
                 chunk[-1]
                 if chunk
-                else (frames[-1]["guid"] if frames else self.pool.data[0]["guid"])
+                else (frames[-1] if frames else self.pool.data[0]["guid"])
             )
             chunk += [pad] * (B - len(chunk))
             guids.extend(chunk)

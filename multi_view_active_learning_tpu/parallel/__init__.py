@@ -58,6 +58,39 @@ def initialize_distributed(
     return False
 
 
+def process_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous every process at `name` via the distributed KV store —
+    host-side only, no device collectives, so it is safe around rank-0
+    critical sections (e.g. checkpoint writes) where a device collective
+    from one process would mismatch the others' programs.  `name` must be
+    unique per use (KV barriers are one-shot).  No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
+def broadcast_string(key: str, value: str, timeout_ms: int = 600_000) -> str:
+    """Process 0 publishes `value` under `key` in the distributed KV
+    store; every process returns process 0's value.  Used for host-side
+    run metadata that must agree across processes (e.g. the timestamped
+    EXPR_NAME every artifact path hangs off).  Single-process: identity."""
+    if jax.process_count() == 1:
+        return value
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return value
+    if jax.process_index() == 0:
+        client.key_value_set(key, value)
+        return value
+    return client.blocking_key_value_get(key, timeout_ms)
+
+
 def make_mesh(
     data_axis: int = -1, view_axis: int = 1, devices=None
 ) -> Mesh:

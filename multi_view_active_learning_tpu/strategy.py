@@ -177,15 +177,24 @@ class ActiveLearningStrategy:
                     sharding, arr, global_shape
                 )
             return jax.device_put(arr, sharding)
+        if procs > 1:
+            # Single-process this fallback is merely slow; multi-process a
+            # local jnp.asarray holds DIFFERENT rows on each process while
+            # jit treats it as replicated-identical — silent garbage.
+            raise ValueError(
+                "Batch dim %s does not divide this process's share of the "
+                "mesh 'data' axis (%d) — cannot assemble a global batch. "
+                "Batch sizes are per-device; check the loader produced "
+                "batch = per_device x local share." % (arr.shape[:1], data_local)
+            )
         key = ("unsharded", arr.shape[0] if arr.ndim else 0, data_n)
         if key not in self._warned_shardings:
             self._warned_shardings.add(key)
             self._logger.warning(
-                "Batch dim %s does not divide this process's share of the "
-                "mesh 'data' axis (%d): placing UNSHARDED — all but one "
-                "device idle for this array. Batch sizes are per-device; "
-                "check the loader produced batch = per_device x local share."
-                % (arr.shape[:1], data_local)
+                "Batch dim %s does not divide the mesh 'data' axis (%d): "
+                "placing UNSHARDED — all but one device idle for this array. "
+                "Batch sizes are per-device; check the loader produced "
+                "batch = per_device x data_axis." % (arr.shape[:1], data_local)
             )
         return jnp.asarray(arr)
 
@@ -697,6 +706,16 @@ class ActiveLearningStrategy:
                             )
                         )
                         t_start, steps_timed = time.time(), 0
+                    # Process-0's checkpoint write above is host-side and
+                    # un-synchronized (the checkpointer is process-local by
+                    # design); the other processes must not race ahead into
+                    # the next iteration's restore of this very checkpoint
+                    # — KV barrier, unique key per save point.
+                    from . import parallel
+
+                    parallel.process_barrier(
+                        "ckpt/%s/%d" % (train_cfg.EXPR_NAME, global_step)
+                    )
                 if global_step >= total_steps:
                     break
             if batches_this_epoch == 0:
@@ -913,17 +932,27 @@ class ActiveLearningStrategy:
                     ckpt.restore_params_only(cfg.AL.CLUSTER.RESTORE_FROM, state)
                 )
             loader = self._get_loader(train_pool, cfg.TRAIN.BATCH_SIZE)
-            for batch in loader:
+            procs = jax.process_count()
+            for batch_index, batch in enumerate(loader):
                 images, gt_heat = self._device_batch(
                     batch, train=False, key=jax.random.PRNGKey(0)
                 )
+                # Multi-process: the loss is a data-sharded GLOBAL array and
+                # the local batch holds only this process's guids — same
+                # gather + key-reconstruction as the scoring sweep.
                 losses = np.asarray(
-                    self.engine.loss_step(
-                        state.params, state.batch_stats, images, gt_heat
+                    self._fetch_global(
+                        self.engine.loss_step(
+                            state.params, state.batch_stats, images, gt_heat
+                        )
                     )
                 )
-                for i, guid in enumerate(batch["guid"]):
-                    if batch["frame_valid"][i]:
+                if procs > 1:
+                    guids, valid = loader.global_batch_layout(batch_index)
+                else:
+                    guids, valid = batch["guid"], batch["frame_valid"]
+                for i, guid in enumerate(guids):
+                    if valid[i]:
                         cluster_dict[guid] = float(losses[i])
         else:
             raise ValueError("AL.CLUSTER.TYPE must be POSE or LOSS")

@@ -222,10 +222,21 @@ def main(argv=None) -> FlowOutput | None:
     # cache makes repeat experiment launches start in seconds.  Forced via
     # the config API because env vars are too late once jax is imported.
     enable_compilation_cache()
+    # Multi-host bring-up (no-op outside pod/explicit-coordinator envs) —
+    # the NCCL-rendezvous replacement (reference: workflow.py:228-230).
+    from . import parallel
+
+    parallel.initialize_distributed()
     logger = get_logger("workflow")
     logger.info("Merged configuration from %s." % (args.config_file or "<defaults>"))
     logger.info("Experiment type: %s" % cfg.EXPR_TYPE)
-    cfg.EXPR_NAME = cfg.EXPR_NAME + "-" + datetime.now().strftime("%m.%d.%Y:%H:%M.%f")
+    # Every artifact path hangs off the timestamped EXPR_NAME; a
+    # per-process datetime would diverge at microsecond resolution and
+    # non-zero processes would then restore checkpoints/guid logs from
+    # paths only process 0 writes — broadcast process 0's stamp.
+    cfg.EXPR_NAME = cfg.EXPR_NAME + "-" + parallel.broadcast_string(
+        "mval/expr_stamp", datetime.now().strftime("%m.%d.%Y:%H:%M.%f")
+    )
     if not cfg.RESULTS:
         with tempfile.NamedTemporaryFile(delete=False, suffix=".json") as f:
             cfg.RESULTS = f.name
