@@ -68,6 +68,12 @@ _WORKER = textwrap.dedent(
     total = float(np.asarray(jax.device_get(total)))
     assert total == 3.0, total
 
+    # Host-side coordination helpers: process 0's value wins on every
+    # process (run-name agreement), and the KV barrier rendezvouses
+    # without any device collective (checkpoint-write fencing).
+    assert parallel.broadcast_string("smoke/stamp", "p%d" % pid) == "p0"
+    parallel.process_barrier("smoke/barrier")
+
     # FrameLoader process-sharding (the DistributedSampler equivalent):
     # each process loads its strided subset of the same pool.
     from multi_view_active_learning_tpu.config import get_default_configs
