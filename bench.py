@@ -180,25 +180,41 @@ def main():
             key, al_strategy="TRIANGULATION", int8_scales=int8_scales,
         )
 
-    # Warm up: compile, then run a few chained steps so the backend's
-    # per-executable execution-plan setup (hundreds of ms on the tunneled
-    # runtime) is excluded from steady-state timing.  Host fetches force
-    # real execution — block_until_ready is unreliable through the tunnel.
-    carry = jnp.zeros((), jnp.uint8)
-    for _ in range(3):
-        out = score(images + carry)
-        carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
-    float(np.asarray(carry))
+    # Warm up: compile, then run chained steps until throughput PLATEAUS.
+    # An idle chip/tunnel session ramps over tens of seconds of sustained
+    # work, not milliseconds: consecutive cold bench runs measured 260 ->
+    # 279 -> 283 fps (BENCH_NOTES round-3 "tunnel restored" section), so a
+    # fixed few-second warm-up under-reports steady state by ~8%.  Warm in
+    # 20-step windows until the window rate stops improving (>0.5%) twice
+    # in a row, capped at 90 s.  Host fetches force real execution —
+    # block_until_ready is unreliable through the tunnel.
+    def chained_steps(n):
+        carry = jnp.zeros((), jnp.uint8)
+        for _ in range(n):
+            out = score(images + carry)
+            carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
+        float(np.asarray(carry))  # forces the whole chain transitively
 
-    # Chain each step on the previous step's output so the final fetch
-    # transitively forces the whole timed sequence to execute.
-    t0 = time.perf_counter()
-    carry = jnp.zeros((), jnp.uint8)
-    for _ in range(STEPS):
-        out = score(images + carry)
-        carry = (out["al_metric"][0] * 0.0).astype(jnp.uint8)
-    float(np.asarray(carry))
-    scoring_time = time.perf_counter() - t0
+    chained_steps(3)  # compile + executable setup
+    t_warm = time.perf_counter()
+    best_rate, flat_windows = 0.0, 0
+    while flat_windows < 2 and time.perf_counter() - t_warm < 90.0:
+        t0 = time.perf_counter()
+        chained_steps(20)
+        rate = 20.0 / (time.perf_counter() - t0)
+        if rate > best_rate * 1.005:
+            best_rate, flat_windows = rate, 0
+        else:
+            flat_windows += 1
+
+    # Steady state: median of three timed windows (the windows agree to
+    # ~0.5% once warm; the median guards against a stray tunnel stall).
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chained_steps(STEPS)
+        times.append(time.perf_counter() - t0)
+    scoring_time = sorted(times)[1]
     frames = BATCH * STEPS
 
     # Coreset ranking over a scored pool (amortized per scoring pass).

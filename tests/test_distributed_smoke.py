@@ -312,6 +312,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _drain_workers(procs, timeout):
+    """communicate() with every worker; on timeout KILL them all first.
+
+    TimeoutExpired alone leaves the workers running — two orphaned jax
+    processes then own the box's single core for many minutes, and every
+    later in-process mesh collective in the suite starves past XLA:CPU's
+    hard 40 s rendezvous termination, SIGABRTing pytest itself (observed:
+    one cold-cache timeout here aborted the suite 17 tests later)."""
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            logs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.communicate()  # reap; the test fails via the raise below
+        raise
+    return logs
+
+
 def test_two_process_distributed_smoke(tmp_path):
     port = _free_port()
     worker_py = tmp_path / "worker.py"
@@ -338,10 +361,7 @@ def test_two_process_distributed_smoke(tmp_path):
                 text=True,
             )
         )
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        logs.append(out)
+    logs = _drain_workers(procs, timeout=900)  # cold-cache concurrent compiles
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 
@@ -397,10 +417,7 @@ def test_two_process_pool_scoring(tmp_path):
                 text=True,
             )
         )
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        logs.append(out)
+    logs = _drain_workers(procs, timeout=1200)  # cold-cache concurrent compiles
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 
@@ -458,10 +475,7 @@ def test_two_process_training(tmp_path):
                 text=True,
             )
         )
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        logs.append(out)
+    logs = _drain_workers(procs, timeout=1200)  # cold-cache concurrent compiles
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 

@@ -27,9 +27,27 @@ def test_make_mesh_shapes():
 
 @pytest.mark.heavy
 def test_dryrun_multichip():
+    """The driver's multi-chip gate, in-suite.
+
+    Inside pytest the backend is frozen, so dryrun_multichip re-execs an
+    8-virtual-device subprocess WHILE the parent's own 8-device backend
+    (plus suite worker threads) stays alive — on this 1-core box that
+    oversubscription can starve an XLA:CPU collective past its hard 40 s
+    rendezvous termination and SIGABRT the subprocess (observed once per
+    ~2 cold-cache suite runs; the driver's standalone run of the same
+    entry point is not oversubscribed and passes).  One retry: attempt 1
+    populated the persistent compile cache, so attempt 2's execution
+    window is far inside the rendezvous budget."""
+    import subprocess
+
     import __graft_entry__ as graft
 
-    graft.dryrun_multichip(8)
+    try:
+        graft.dryrun_multichip(8)
+    except subprocess.CalledProcessError as e:
+        if e.returncode != -6:  # anything but the rendezvous SIGABRT is real
+            raise
+        graft.dryrun_multichip(8)
 
 
 def test_sharded_triangulation_matches_single_device():
