@@ -58,15 +58,19 @@ _REF_FORWARD = textwrap.dedent(
 
     sys.path.insert(0, %(reference)r)
     import torch
-    from pose_estimators import pose_resnet as ref_pr
 
-    if not hasattr(ref_pr.BasicBlock, "expansion"):
-        ref_pr.BasicBlock.expansion = 1  # reference bug; torchvision value
+    if %(model)r == "POSE_RESNET":
+        from pose_estimators import pose_resnet as ref_pr
+        if not hasattr(ref_pr.BasicBlock, "expansion"):
+            ref_pr.BasicBlock.expansion = 1  # reference bug; torchvision value
+        model = ref_pr.PoseResNet(num_joints=%(joints)d, num_layers=18)
+    else:
+        from pose_estimators.hrnet import PoseHighResolutionNet
+        model = PoseHighResolutionNet(num_joints=%(joints)d)
 
     ckpt = torch.load(%(pth)r, map_location="cpu")
     sd = {k.replace("module.", "", 1): v
           for k, v in ckpt["state_dict"].items()}
-    model = ref_pr.PoseResNet(num_joints=%(joints)d, num_layers=18)
     model.load_state_dict(sd, strict=True)  # every key must be present
     model.eval()
     x = np.load(%(x)r)["x"]  # [B, 3, H, W]
@@ -89,14 +93,15 @@ def _tree_allclose(a, b, path=""):
     )
 
 
-def test_export_roundtrip_and_reference_forward(tmp_path):
+@pytest.mark.parametrize("model_type", ["POSE_RESNET", "HRNET"])
+def test_export_roundtrip_and_reference_forward(tmp_path, model_type):
     from tools.export_checkpoint import export_checkpoint
 
     cfg = get_default_configs()
     cfg.DATA.NUM_JOINTS = 4
     cfg.DATA.INPUT_WIDTH = 64
     cfg.DATA.INPUT_HEIGHT = 64
-    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.TYPE = model_type
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
 
@@ -120,7 +125,7 @@ def test_export_roundtrip_and_reference_forward(tmp_path):
     stripped = {
         k.replace("module.", "", 1): v.numpy() for k, v in sd.items()
     }
-    params, stats = torch_state_dict_to_flax(stripped, "POSE_RESNET")
+    params, stats = torch_state_dict_to_flax(stripped, model_type)
     _tree_allclose(params, jax.device_get(state.params))
     _tree_allclose(stats, jax.device_get(state.batch_stats))
 
@@ -135,7 +140,7 @@ def test_export_roundtrip_and_reference_forward(tmp_path):
     np.savez(x_npz, x=x_nchw)
     script = _REF_FORWARD % {
         "reference": REFERENCE, "pth": pth, "joints": 4,
-        "x": x_npz, "y": y_npz,
+        "x": x_npz, "y": y_npz, "model": model_type,
     }
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # pure torch subprocess
