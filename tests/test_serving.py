@@ -61,8 +61,9 @@ def test_export_serialize_roundtrip(tmp_path):
 
 
 @pytest.mark.heavy
-def test_artifact_matches_engine(tmp_path):
-    engine, state = _small_engine()
+@pytest.mark.parametrize("model_type", ["POSE_RESNET", "HRNET"])
+def test_artifact_matches_engine(tmp_path, model_type):
+    engine, state = _small_engine(model_type)
     path = os.path.join(str(tmp_path), "model" + serving.SERVING_SUFFIX)
     serving.save_serving(
         serving.export_serving(
