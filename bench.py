@@ -198,7 +198,10 @@ def main():
     chained_steps(3)  # compile + executable setup
     t_warm = time.perf_counter()
     best_rate, flat_windows = 0.0, 0
-    while flat_windows < 2 and time.perf_counter() - t_warm < 90.0:
+    # Minimum 60 s of sustained work before trusting a plateau: the ramp
+    # creeps <0.5%/window for tens of seconds (a 90 s cap with a 2-window
+    # plateau still reported 273.7 on a cold chip vs 283 fully warm).
+    while time.perf_counter() - t_warm < 150.0:
         t0 = time.perf_counter()
         chained_steps(20)
         rate = 20.0 / (time.perf_counter() - t0)
@@ -206,6 +209,8 @@ def main():
             best_rate, flat_windows = rate, 0
         else:
             flat_windows += 1
+        if flat_windows >= 3 and time.perf_counter() - t_warm > 60.0:
+            break
 
     # Steady state: median of three timed windows (the windows agree to
     # ~0.5% once warm; the median guards against a stray tunnel stall).
