@@ -777,6 +777,7 @@ class ActiveLearningStrategy:
         preds, gts, valids = [], [], []
         pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
         int8_scales = None
+        pending = []
         for batch in val_loader:
             images = self._device_images(batch)
             if int8_scales is None:
@@ -792,16 +793,31 @@ class ActiveLearningStrategy:
                 pairs,
                 int8_scales=int8_scales,
             )
+            # Keep the device reference and fetch after the loop (same
+            # pipelining as the scoring sweep): a per-batch fetch blocks the
+            # host until the device drains, serializing next-batch prep +
+            # H2D against compute.  Outputs are O(B*K) floats per batch.
+            pending.append(
+                (
+                    out["keypoints_3d"],
+                    batch["frame_valid"],
+                    batch["3d_keypoints"],
+                    batch["joint_valid"],
+                )
+            )
+        for kp3d_dev, frame_valid, kp3d_gt, joint_valid in pending:
             # Multi-process: device outputs are global arrays and the host
             # batch holds only this process's rows — gather both sides so
             # every process evaluates the full validation set (single
             # process: _fetch_global is a plain device_get / identity).
-            kp3d = np.asarray(self._fetch_global(out["keypoints_3d"]))
-            mask = np.asarray(self._fetch_global(batch["frame_valid"]))
+            # Deferred fetches keep the same per-batch collective order on
+            # every process (loader batch counts are shard-equalized).
+            kp3d = np.asarray(self._fetch_global(kp3d_dev))
+            mask = np.asarray(self._fetch_global(frame_valid))
             preds.append(kp3d[mask])
-            gts.append(np.asarray(self._fetch_global(batch["3d_keypoints"]))[mask])
+            gts.append(np.asarray(self._fetch_global(kp3d_gt))[mask])
             valids.append(
-                np.asarray(self._fetch_global(batch["joint_valid"]))[mask].astype(
+                np.asarray(self._fetch_global(joint_valid))[mask].astype(
                     np.float32
                 )
             )
@@ -827,6 +843,7 @@ class ActiveLearningStrategy:
 
         preds, gts = [], []
         int8_scales = None
+        pending = []
         for batch in val_loader:
             images = self._device_images(batch)
             if int8_scales is None:
@@ -841,13 +858,17 @@ class ActiveLearningStrategy:
             coords = heatmap_ops.decode_keypoints_bbox(
                 hm_vk, self._put(batch["square_box"], view_axis=True)  # [B, V, 4]
             )
-            mask = np.asarray(self._fetch_global(batch["frame_valid"]))
+            # Device reference only ([B, V, K, 2] — the big heatmaps are
+            # not retained); fetch after the loop, as in _evaluate_all.
+            pending.append((coords, batch["frame_valid"], batch["2d_after_crop"]))
+        for coords, frame_valid, gt_2d in pending:
+            mask = np.asarray(self._fetch_global(frame_valid))
             kp = np.asarray(self._fetch_global(coords))[mask].reshape(
                 -1, self.num_joints, 2
             )
-            gt = np.asarray(self._fetch_global(batch["2d_after_crop"]))[
-                mask
-            ].reshape(-1, self.num_joints, 2)
+            gt = np.asarray(self._fetch_global(gt_2d))[mask].reshape(
+                -1, self.num_joints, 2
+            )
             preds.append(kp)
             gts.append(gt)
         pred = np.concatenate(preds)
@@ -933,24 +954,26 @@ class ActiveLearningStrategy:
                 )
             loader = self._get_loader(train_pool, cfg.TRAIN.BATCH_SIZE)
             procs = jax.process_count()
+            pending = []
             for batch_index, batch in enumerate(loader):
                 images, gt_heat = self._device_batch(
                     batch, train=False, key=jax.random.PRNGKey(0)
                 )
-                # Multi-process: the loss is a data-sharded GLOBAL array and
-                # the local batch holds only this process's guids — same
-                # gather + key-reconstruction as the scoring sweep.
-                losses = np.asarray(
-                    self._fetch_global(
-                        self.engine.loss_step(
-                            state.params, state.batch_stats, images, gt_heat
-                        )
-                    )
+                losses_dev = self.engine.loss_step(
+                    state.params, state.batch_stats, images, gt_heat
                 )
                 if procs > 1:
                     guids, valid = loader.global_batch_layout(batch_index)
                 else:
                     guids, valid = batch["guid"], batch["frame_valid"]
+                # Device reference only ([B] floats); fetch after the loop —
+                # the same dispatch pipelining as the scoring/eval sweeps.
+                pending.append((guids, valid, losses_dev))
+            for guids, valid, losses_dev in pending:
+                # Multi-process: the loss is a data-sharded GLOBAL array and
+                # the local batch holds only this process's guids — same
+                # gather + key-reconstruction as the scoring sweep.
+                losses = np.asarray(self._fetch_global(losses_dev))
                 for i, guid in enumerate(guids):
                     if valid[i]:
                         cluster_dict[guid] = float(losses[i])
