@@ -23,7 +23,7 @@ import json
 import math
 import os
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from heapq import nlargest
 from typing import Dict, List, Optional, Tuple
 
@@ -211,6 +211,45 @@ class ActiveLearningStrategy:
         from jax.experimental import multihost_utils
 
         return jax.device_get(multihost_utils.process_allgather(tree, tiled=True))
+
+    # In-flight dispatch window for the batch sweeps.  Enough queued batches
+    # to overlap host prep + H2D with device compute; small enough to bound
+    # the HBM pinned by undrained batch inputs (each dispatched batch holds
+    # its images until the device executes it — with DATA.DEVICE_CROP a
+    # full-frame HD batch is hundreds of MB, so an unbounded dispatch loop
+    # over a large pool could OOM the device when host prep outruns compute).
+    SWEEP_INFLIGHT_WINDOW = 4
+
+    def _pipelined_fetch(self, dispatched):
+        """Bounded dispatch-ahead pipelining shared by the sweep loops
+        (pool scoring, 3D/2D eval, cluster).
+
+        `dispatched` yields one (meta, tree) pair per batch: `meta` is
+        passed through untouched (host-only values such as guid lists);
+        `tree` holds the per-batch results to bring to the host — small
+        device references and/or process-local host arrays — fetched with
+        ONE _fetch_global call per batch (a single device round-trip
+        through the tunneled runtime instead of one per array;
+        multi-process, aligned per-leaf all-gathers).
+
+        Yields (meta, fetched_tree) in dispatch order, keeping at most
+        SWEEP_INFLIGHT_WINDOW batches in flight: a fetch inside the
+        dispatch loop would block the host until the device drains
+        (serializing next-batch prep against compute — the round-1
+        training bottleneck), while fetching only after the loop leaves
+        device-memory residency unbounded.  Multi-process: dispatch and
+        fetch orders are the same deterministic function of the batch
+        index on every process (loader batch counts are shard-equalized),
+        so collectives stay aligned."""
+        pending = deque()
+        for item in dispatched:
+            pending.append(item)
+            if len(pending) > self.SWEEP_INFLIGHT_WINDOW:
+                meta, tree = pending.popleft()
+                yield meta, self._fetch_global(tree)
+        while pending:
+            meta, tree = pending.popleft()
+            yield meta, self._fetch_global(tree)
 
     def _device_images(self, batch: Dict):
         """batch["images"] placed on device; with DATA.DEVICE_CROP the
@@ -454,50 +493,51 @@ class ActiveLearningStrategy:
         )
         t0 = time.time()
         n_frames = 0
-        pending = []
         int8_scales = None
         procs = jax.process_count()
-        for batch_index, batch in enumerate(loader):
-            key, skey = jax.random.split(key)
-            # Raw uint8 frames: normalization is fused into the scoring
-            # executable (engine.forward); no GT heatmaps are rendered.
-            images = self._device_images(batch)
-            if int8_scales is None:
-                # One-batch activation calibration for static int8 scoring
-                # (None when TPU.INT8_SCORING is off).
-                int8_scales = self.engine.int8_calibrate(
-                    state.params, state.batch_stats, images
+
+        def _dispatched():
+            nonlocal key, int8_scales
+            for batch_index, batch in enumerate(loader):
+                key, skey = jax.random.split(key)
+                # Raw uint8 frames: normalization is fused into the scoring
+                # executable (engine.forward); no GT heatmaps are rendered.
+                images = self._device_images(batch)
+                if int8_scales is None:
+                    # One-batch activation calibration for static int8
+                    # scoring (None when TPU.INT8_SCORING is off).
+                    int8_scales = self.engine.int8_calibrate(
+                        state.params, state.batch_stats, images
+                    )
+                out = self.engine.score_step(
+                    state.params,
+                    state.batch_stats,
+                    images,
+                    self._put(batch["proj_matrices"], view_axis=True),
+                    self._put(batch["joint_valid"]),
+                    pairs,
+                    self._put(batch["3d_keypoints"]),
+                    skey,
+                    al_strategy=cfg.AL.STRATEGY,
+                    mpe_aggregate=cfg.AL.MPE_CONFIG,
+                    hp_aggregate=cfg.AL.HP_CONFIG,
+                    bsb_aggregate=cfg.AL.BSB_CONFIG,
+                    int8_scales=int8_scales,
                 )
-            out = self.engine.score_step(
-                state.params,
-                state.batch_stats,
-                images,
-                self._put(batch["proj_matrices"], view_axis=True),
-                self._put(batch["joint_valid"]),
-                pairs,
-                self._put(batch["3d_keypoints"]),
-                skey,
-                al_strategy=cfg.AL.STRATEGY,
-                mpe_aggregate=cfg.AL.MPE_CONFIG,
-                hp_aggregate=cfg.AL.HP_CONFIG,
-                bsb_aggregate=cfg.AL.BSB_CONFIG,
-                int8_scales=int8_scales,
-            )
-            # Keep device references; fetch once after the loop so the host
-            # never stalls the device between batches (outputs are tiny:
-            # O(B*K) floats per batch).
-            if procs > 1:
-                # Global batch: rows span every process's shard.  Keys come
-                # from pool metadata (any process can reconstruct every
-                # shard's guids), values from an all-gather at fetch time —
-                # the reference's sal_dict NCCL all_gather equivalent
-                # (reference: strategy.py:1090-1147).
-                guids, frame_valid = loader.global_batch_layout(batch_index)
-            else:
-                guids, frame_valid = batch["guid"], batch["frame_valid"]
-            pending.append((guids, frame_valid, out))
-        for guids, frame_valid, out in pending:
-            out = self._fetch_global(out)
+                if procs > 1:
+                    # Global batch: rows span every process's shard.  Keys
+                    # come from pool metadata (any process can reconstruct
+                    # every shard's guids), values from an all-gather at
+                    # fetch time — the reference's sal_dict NCCL all_gather
+                    # equivalent (reference: strategy.py:1090-1147).
+                    guids, frame_valid = loader.global_batch_layout(batch_index)
+                else:
+                    guids, frame_valid = batch["guid"], batch["frame_valid"]
+                # Device outputs are tiny (O(B*K) floats per batch); the
+                # pipelined fetch keeps the device fed between batches.
+                yield (guids, frame_valid), out
+
+        for (guids, frame_valid), out in self._pipelined_fetch(_dispatched()):
             for i, guid in enumerate(guids):
                 if not frame_valid[i]:
                     continue
@@ -777,50 +817,42 @@ class ActiveLearningStrategy:
         preds, gts, valids = [], [], []
         pairs = jnp.asarray(self.engine.pairs(val_loader.pool.get_num_view_per_frame()))
         int8_scales = None
-        pending = []
-        for batch in val_loader:
-            images = self._device_images(batch)
-            if int8_scales is None:
-                int8_scales = self.engine.int8_calibrate(
-                    state.params, state.batch_stats, images, for_eval=True
+
+        def _dispatched():
+            nonlocal int8_scales
+            for batch in val_loader:
+                images = self._device_images(batch)
+                if int8_scales is None:
+                    int8_scales = self.engine.int8_calibrate(
+                        state.params, state.batch_stats, images, for_eval=True
+                    )
+                out = self.engine.eval_step(
+                    state.params,
+                    state.batch_stats,
+                    images,
+                    self._put(batch["proj_matrices"], view_axis=True),
+                    self._put(batch["joint_valid"]),
+                    pairs,
+                    int8_scales=int8_scales,
                 )
-            out = self.engine.eval_step(
-                state.params,
-                state.batch_stats,
-                images,
-                self._put(batch["proj_matrices"], view_axis=True),
-                self._put(batch["joint_valid"]),
-                pairs,
-                int8_scales=int8_scales,
-            )
-            # Keep the device reference and fetch after the loop (same
-            # pipelining as the scoring sweep): a per-batch fetch blocks the
-            # host until the device drains, serializing next-batch prep +
-            # H2D against compute.  Outputs are O(B*K) floats per batch.
-            pending.append(
-                (
+                # Multi-process: the device output is a global array and the
+                # host batch holds only this process's rows — the fetch
+                # gathers both sides so every process evaluates the full
+                # validation set (single process: a plain device_get).
+                yield None, (
                     out["keypoints_3d"],
                     batch["frame_valid"],
                     batch["3d_keypoints"],
                     batch["joint_valid"],
                 )
-            )
-        for kp3d_dev, frame_valid, kp3d_gt, joint_valid in pending:
-            # Multi-process: device outputs are global arrays and the host
-            # batch holds only this process's rows — gather both sides so
-            # every process evaluates the full validation set (single
-            # process: _fetch_global is a plain device_get / identity).
-            # Deferred fetches keep the same per-batch collective order on
-            # every process (loader batch counts are shard-equalized).
-            kp3d = np.asarray(self._fetch_global(kp3d_dev))
-            mask = np.asarray(self._fetch_global(frame_valid))
-            preds.append(kp3d[mask])
-            gts.append(np.asarray(self._fetch_global(kp3d_gt))[mask])
-            valids.append(
-                np.asarray(self._fetch_global(joint_valid))[mask].astype(
-                    np.float32
-                )
-            )
+
+        for _, (kp3d, mask, kp3d_gt, joint_valid) in self._pipelined_fetch(
+            _dispatched()
+        ):
+            mask = np.asarray(mask)
+            preds.append(np.asarray(kp3d)[mask])
+            gts.append(np.asarray(kp3d_gt)[mask])
+            valids.append(np.asarray(joint_valid)[mask].astype(np.float32))
         pred = np.concatenate(preds)
         gt = np.concatenate(gts)
         valid = np.concatenate(valids)
@@ -843,34 +875,34 @@ class ActiveLearningStrategy:
 
         preds, gts = [], []
         int8_scales = None
-        pending = []
-        for batch in val_loader:
-            images = self._device_images(batch)
-            if int8_scales is None:
-                int8_scales = self.engine.int8_calibrate(
-                    state.params, state.batch_stats, images, for_eval=True
+
+        def _dispatched():
+            nonlocal int8_scales
+            for batch in val_loader:
+                images = self._device_images(batch)
+                if int8_scales is None:
+                    int8_scales = self.engine.int8_calibrate(
+                        state.params, state.batch_stats, images, for_eval=True
+                    )
+                heatmaps = self.engine.forward(
+                    state.params, state.batch_stats, images, int8_scales,
+                    use_int8=self.engine.use_int8_eval,
                 )
-            heatmaps = self.engine.forward(
-                state.params, state.batch_stats, images, int8_scales,
-                use_int8=self.engine.use_int8_eval,
+                hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
+                coords = heatmap_ops.decode_keypoints_bbox(
+                    hm_vk,
+                    self._put(batch["square_box"], view_axis=True),  # [B, V, 4]
+                )
+                # Device reference only ([B, V, K, 2] — the big heatmaps
+                # are not retained past the batch).
+                yield None, (coords, batch["frame_valid"], batch["2d_after_crop"])
+
+        for _, (coords, mask, gt_2d) in self._pipelined_fetch(_dispatched()):
+            mask = np.asarray(mask)
+            preds.append(
+                np.asarray(coords)[mask].reshape(-1, self.num_joints, 2)
             )
-            hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
-            coords = heatmap_ops.decode_keypoints_bbox(
-                hm_vk, self._put(batch["square_box"], view_axis=True)  # [B, V, 4]
-            )
-            # Device reference only ([B, V, K, 2] — the big heatmaps are
-            # not retained); fetch after the loop, as in _evaluate_all.
-            pending.append((coords, batch["frame_valid"], batch["2d_after_crop"]))
-        for coords, frame_valid, gt_2d in pending:
-            mask = np.asarray(self._fetch_global(frame_valid))
-            kp = np.asarray(self._fetch_global(coords))[mask].reshape(
-                -1, self.num_joints, 2
-            )
-            gt = np.asarray(self._fetch_global(gt_2d))[mask].reshape(
-                -1, self.num_joints, 2
-            )
-            preds.append(kp)
-            gts.append(gt)
+            gts.append(np.asarray(gt_2d)[mask].reshape(-1, self.num_joints, 2))
         pred = np.concatenate(preds)
         gt = np.concatenate(gts)
         thresholds, pcks = evaluation.compute_pckh_2d_figure(pred, gt)
@@ -954,26 +986,27 @@ class ActiveLearningStrategy:
                 )
             loader = self._get_loader(train_pool, cfg.TRAIN.BATCH_SIZE)
             procs = jax.process_count()
-            pending = []
-            for batch_index, batch in enumerate(loader):
-                images, gt_heat = self._device_batch(
-                    batch, train=False, key=jax.random.PRNGKey(0)
-                )
-                losses_dev = self.engine.loss_step(
-                    state.params, state.batch_stats, images, gt_heat
-                )
-                if procs > 1:
-                    guids, valid = loader.global_batch_layout(batch_index)
-                else:
-                    guids, valid = batch["guid"], batch["frame_valid"]
-                # Device reference only ([B] floats); fetch after the loop —
-                # the same dispatch pipelining as the scoring/eval sweeps.
-                pending.append((guids, valid, losses_dev))
-            for guids, valid, losses_dev in pending:
-                # Multi-process: the loss is a data-sharded GLOBAL array and
-                # the local batch holds only this process's guids — same
-                # gather + key-reconstruction as the scoring sweep.
-                losses = np.asarray(self._fetch_global(losses_dev))
+
+            def _dispatched():
+                for batch_index, batch in enumerate(loader):
+                    images, gt_heat = self._device_batch(
+                        batch, train=False, key=jax.random.PRNGKey(0)
+                    )
+                    # Multi-process: the loss is a data-sharded GLOBAL array
+                    # ([B] floats) and the local batch holds only this
+                    # process's guids — same gather + key-reconstruction as
+                    # the scoring sweep.
+                    losses_dev = self.engine.loss_step(
+                        state.params, state.batch_stats, images, gt_heat
+                    )
+                    if procs > 1:
+                        guids, valid = loader.global_batch_layout(batch_index)
+                    else:
+                        guids, valid = batch["guid"], batch["frame_valid"]
+                    yield (guids, valid), losses_dev
+
+            for (guids, valid), losses in self._pipelined_fetch(_dispatched()):
+                losses = np.asarray(losses)
                 for i, guid in enumerate(guids):
                     if valid[i]:
                         cluster_dict[guid] = float(losses[i])
