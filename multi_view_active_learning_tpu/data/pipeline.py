@@ -110,7 +110,7 @@ def _main_module_reimportable() -> bool:
     return os.path.isfile(main_file)
 
 
-def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
+def _shared_executor(num_workers: int) -> ProcessPoolExecutor | None:
     """THE process-wide decode worker pool, grown to the largest worker
     count ever requested (train and scoring loaders with different
     NUM_WORKERS share one pool rather than keeping two resident pools of
@@ -125,7 +125,9 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
     workers skip the import; each worker then warms its own VIEW_CACHE,
     which persists across epochs because the pool is shared for the whole
     process rather than re-created per FrameLoader).  Falls back to 'spawn'
-    where forkserver is unavailable.
+    where forkserver is unavailable, to 'fork' where __main__ is not
+    re-importable (spawn/forkserver would crash the workers re-importing
+    it), and to None — callers decode inline — where neither works.
     """
     global _SHARED_EXECUTOR, _SHARED_EXECUTOR_SIZE
     with _SHARED_EXECUTORS_LOCK:
@@ -141,17 +143,17 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
                 _RETIRED_EXECUTORS.append(ex)
             ex = None
         if ex is None:
-            ctx = None
             if _main_module_reimportable():
                 try:
                     ctx = multiprocessing.get_context("forkserver")
                     ctx.set_forkserver_preload([__name__])
                 except ValueError:  # platforms without forkserver
-                    ctx = None
-            if ctx is None:
-                # stdin/-c-driven processes (or no forkserver): the
-                # forkserver's __main__ re-import would crash, so fall back
-                # to fork.  Residual risk documented: forking with live
+                    ctx = multiprocessing.get_context("spawn")
+            else:
+                # stdin/-c-driven processes: forkserver AND spawn both
+                # re-import __main__ in the child (mp.spawn._fixup_main_*),
+                # which would crash every worker — fork is the only viable
+                # context.  Residual risk documented: forking with live
                 # non-daemon threads can deadlock the child if another
                 # thread holds a lock at fork time; workers run only
                 # numpy/PIL host code, which bounds the exposure to the
@@ -159,7 +161,10 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor:
                 try:
                     ctx = multiprocessing.get_context("fork")
                 except ValueError:
-                    ctx = multiprocessing.get_context("spawn")
+                    # No fork either (non-POSIX): no worker context can
+                    # start safely from a REPL-driven parent — decode
+                    # inline rather than crash every worker at import.
+                    return None
             ex = ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx)
             _SHARED_EXECUTOR = ex
             _SHARED_EXECUTOR_SIZE = num_workers
@@ -253,11 +258,10 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
     for camera_name, view in frame["views"].items():
         bbox = geometry.get_square_bbox(tuple(view["box"]))
         bbox = geometry.scale_bbox(bbox, data_cfg.SCALE_BBOX)
+        # --- pixels: mode-dependent (host crop vs DEVICE_CROP full frame)
         if device_crop:
             # DEVICE_CROP mode: decode the full frame only; the square-box
             # crop + resize runs on device (ops/image.py::crop_resize_uint8).
-            # All camera/keypoint math below is identical — it depends on
-            # the bbox, not on the pixels.
             cache_key = (view["path"], "full")
             cache_size = _effective_cache_size(data_cfg)
             image = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
@@ -267,25 +271,42 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
                 image = np.ascontiguousarray(image[..., ::-1])  # BGR flip
                 if cache_size > 0:
                     VIEW_CACHE.put(cache_key, image, cache_size)
-            cam = geometry.Camera(
-                view["camera"]["R"],
-                view["camera"]["t"],
-                view["camera"]["K"],
-                view["camera"]["dist"],
-                name=camera_name,
+        else:
+            cache_key = (
+                view["path"], tuple(bbox),
+                data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
             )
-            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
-            cam.update_after_crop(bbox)
-            kps_after_crop.append(cam.project(kp3d).astype(np.float32))
-            cam.update_after_resize(
-                crop_shape, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT
-            )
-            projs.append(cam.projection.astype(np.float32))
-            kps.append(cam.project(kp3d).astype(np.float32))
-            images.append(image)
-            sq_boxes.append(np.asarray(bbox, dtype=np.float32))
-            pvjv.append(np.asarray(view["per_view_joint_valid"], dtype=bool))
-            continue
+            cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
+            cached = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
+            image = cached
+            if image is None and use_native:
+                with open(view["path"], "rb") as f:
+                    raw = f.read()
+                # Native path fuses decode + crop + Lanczos + BGR flip.  The
+                # bbox is given in original (RGB) image coordinates; the
+                # reference's BGR flip (dataset.py:162) is channel-only, so
+                # flipping after resize is equivalent.
+                image = native_loader.decode_crop_resize(
+                    raw, bbox, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
+                    bgr_flip=True, fast_scale=fast_scale,
+                )
+            if image is None:  # PIL fallback (reference-exact path)
+                with open(view["path"], "rb") as f:
+                    image = np.asarray(Image.open(f))
+                image = image[..., ::-1]  # BGR flip (reference: dataset.py:162)
+                # crop_image zero-fills to the exact bbox extent, so the
+                # crop shape equals the bbox dims used below.
+                image = geometry.crop_image(image, bbox)
+                image = Image.fromarray(image).resize(
+                    (data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT),
+                    resample=Image.LANCZOS,
+                )
+                image = np.asarray(image, dtype=np.uint8)
+            if cached is None and cache_size > 0:
+                VIEW_CACHE.put(cache_key, image, cache_size)
+
+        # --- camera/keypoint math: identical in both modes (it depends on
+        # the bbox, not on the pixels).
         cam = geometry.Camera(
             view["camera"]["R"],
             view["camera"]["t"],
@@ -293,40 +314,7 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             view["camera"]["dist"],
             name=camera_name,
         )
-        cache_key = (
-            view["path"], tuple(bbox), data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
-        )
-        cache_size = getattr(data_cfg, "VIEW_CACHE_SIZE", 0)
-        cached = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
-        image = None
-        if cached is not None:
-            image = cached
-            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
-        elif use_native:
-            with open(view["path"], "rb") as f:
-                raw = f.read()
-            # Native path fuses decode + crop + Lanczos + BGR flip.  The
-            # bbox is given in original (RGB) image coordinates; the
-            # reference's BGR flip (dataset.py:162) is channel-only, so
-            # flipping after resize is equivalent.
-            image = native_loader.decode_crop_resize(
-                raw, bbox, data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT,
-                bgr_flip=True, fast_scale=fast_scale,
-            )
-            crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
-        if image is None:  # PIL fallback (reference-exact path)
-            with open(view["path"], "rb") as f:
-                image = np.asarray(Image.open(f))
-            image = image[..., ::-1]  # BGR flip (reference: dataset.py:162)
-            image = geometry.crop_image(image, bbox)
-            crop_shape = image.shape[:2]
-            image = Image.fromarray(image).resize(
-                (data_cfg.INPUT_WIDTH, data_cfg.INPUT_HEIGHT),
-                resample=Image.LANCZOS,
-            )
-            image = np.asarray(image, dtype=np.uint8)
-        if cached is None and cache_size > 0:
-            VIEW_CACHE.put(cache_key, image, cache_size)
+        crop_shape = (bbox[3] - bbox[1], bbox[2] - bbox[0])
         cam.update_after_crop(bbox)
         kps_after_crop.append(cam.project(kp3d).astype(np.float32))
         cam.update_after_resize(
@@ -456,15 +444,18 @@ class FrameLoader:
         scoring loop asks for a layout once per batch, and re-slicing the
         whole pool for every shard each time is O(pool^2/batch) on big
         pools.  pool.data is REBOUND (never mutated) by the resample
-        methods, so identity is a sound cache key."""
-        key = (id(self.pool.data), len(self.pool.data))
+        methods, so the cache validates with an `is` check against the
+        very list object it sliced — NOT id(), whose values CPython reuses
+        after GC (a fresh equal-length list at a recycled address would
+        silently serve the OLD layout, mis-keying every score).  Holding
+        the strong reference also pins the snapshot against collection."""
         cached = getattr(self, "_shard_guids_cache", None)
-        if cached is None or cached[0] != key:
+        if cached is None or cached[0] is not self.pool.data:
             lists = [
                 [f["guid"] for f in self.pool.data[s :: self.num_shards]]
                 for s in range(self.num_shards)
             ]
-            self._shard_guids_cache = (key, lists)
+            self._shard_guids_cache = (self.pool.data, lists)
             return lists
         return cached[1]
 

@@ -64,7 +64,15 @@ class Engine:
         self.mesh = mesh
         self.model = build_model(cfg)
         self.lr_schedule = make_lr_schedule(cfg)
-        self.tx = optax.adam(self.lr_schedule)
+        # Adam's moments and bias-correction count must NOT advance on
+        # skipped steps (the reference skips optimizer.step() entirely),
+        # but the LR schedule must advance every iteration regardless
+        # (reference strategy.py:486: lr_scheduler.step() runs outside the
+        # skip guard).  optax.adam(schedule) would keep the schedule count
+        # inside opt_state, where the step-skip rollback would rewind it —
+        # so the transform is bare scale_by_adam and train_step applies
+        # -lr(state.step) itself.
+        self.tx = optax.scale_by_adam()
         self.stride = cfg.POSE_ESTIMATOR.STRIDE
         from .ops.pallas import backend_supports_pallas
 
@@ -150,11 +158,21 @@ class Engine:
         if loss_type not in ("MSE", "INTEGRAL", "MSE+INTEGRAL"):
             raise NotImplementedError("Unknown TRAIN.LOSS: %s" % loss_type)
 
+        # Normalize by the number of REAL crops, not the padded batch size:
+        # the reference's loader never pads with zero-loss rows (DDP pads by
+        # duplicating real frames, pose_estimators/loss.py:14-20 divides by
+        # the real leading dim), so counting padded rows in the denominator
+        # would dilute tail-batch gradients by n_real/B.
+        n_valid_crops = jnp.sum(frame_valid.astype(jnp.float32)) * V
+
         def loss_fn(params):
             out, mutated = forward_fn(params, flat_images)
             loss = jnp.zeros((), jnp.float32)
             if loss_type in ("MSE", "MSE+INTEGRAL"):
-                loss = heatmap_ops.heatmap_mse_loss(out, flat_gt, mask)
+                loss = heatmap_ops.heatmap_mse_loss(
+                    out, flat_gt, mask,
+                    num_samples=jnp.maximum(n_valid_crops, 1.0),
+                )
             if loss_type in ("INTEGRAL", "MSE+INTEGRAL"):
                 weight = (
                     self.cfg.TRAIN.INTEGRAL_WEIGHT
@@ -176,12 +194,24 @@ class Engine:
         (loss, (new_stats, first_heatmap)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # LR comes from the always-advancing state.step (see __init__ on why
+        # it must live outside opt_state); this is also the lr actually
+        # applied this step, so the logged value can't diverge from it.
+        lr = self.lr_schedule(state.step)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
 
-        # Step-skip on invalid loss (reference: strategy.py:473-484).  The
-        # LR schedule still advances (lr_scheduler.step() ran regardless).
-        ok = jnp.isfinite(loss) & (loss <= self.cfg.TRAIN.LOSS_CLIP_VALUE)
+        # Step-skip on invalid loss (reference: strategy.py:473-484), and on
+        # all-padding batches (possible under multi-process shard
+        # equalization): without the n_valid guard a zero-gradient batch
+        # would still apply a pure-momentum Adam update, drifting params on
+        # steps the reference would never run.
+        ok = (
+            jnp.isfinite(loss)
+            & (loss <= self.cfg.TRAIN.LOSS_CLIP_VALUE)
+            & (n_valid_crops > 0)
+        )
 
         def sel(new, old):
             return jax.tree_util.tree_map(
@@ -197,7 +227,7 @@ class Engine:
         metrics = {
             "loss": loss,
             "skipped": ~ok,
-            "lr": self.lr_schedule(state.step),
+            "lr": lr,
             # [h, w, K] predicted heatmap of the batch's first crop (first
             # frame, first view) — fetched only at log points.
             "first_heatmap": first_heatmap,
@@ -438,7 +468,14 @@ class Engine:
     ) -> Dict[str, jnp.ndarray]:
         """Validation triangulation (replaces strategy.py:584-634's
         per-sample loop + all_gathers).  Runs the float forward unless
-        TPU.INT8_EVAL opts eval into the int8 backbone."""
+        TPU.INT8_EVAL opts eval into the int8 backbone.
+
+        Deliberately does NOT forward AL.USE_SOFTARGMAX /
+        USE_REPROJECTION_XE to triangulate_frames: the reference's eval
+        loop calls triangulation() with those left at their defaults
+        (reference strategy.py:607-612) — only the scoring loop passes
+        them (strategy.py:1042) — so eval decoding stays hard-argmax for
+        parity even when scoring is configured otherwise."""
         heatmaps = self.forward(
             params, batch_stats, images, int8_scales,
             use_int8=self.use_int8_eval,

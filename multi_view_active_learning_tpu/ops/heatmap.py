@@ -187,6 +187,7 @@ def heatmap_mse_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     joint_valid: jnp.ndarray | None = None,
+    num_samples: jnp.ndarray | float | None = None,
 ) -> jnp.ndarray:
     """Masked heatmap MSE with the reference's normalization: summed squared
     error divided by (leading batch dim * h * w) — NOT by joint count
@@ -195,9 +196,15 @@ def heatmap_mse_loss(
     pred/target: NHWC [N, h, w, K]; shapes must match.
     joint_valid: boolean mask broadcastable to pred's shape
     (e.g. [N, 1, 1, K] for per-(sample, joint) validity).
+    num_samples: overrides the leading-dim count in the denominator — pass
+    the number of REAL samples when the batch carries zero-loss padding
+    rows, so tail batches aren't gradient-diluted relative to the
+    reference's pad-free loaders (may be a traced scalar).
     """
     err = jnp.square(pred - target)
     if joint_valid is not None:
         err = jnp.where(joint_valid, err, jnp.zeros_like(err))
     n, h, w = pred.shape[0], pred.shape[1], pred.shape[2]
-    return jnp.sum(err) / (n * h * w)
+    if num_samples is None:
+        num_samples = n
+    return jnp.sum(err) / (num_samples * h * w)

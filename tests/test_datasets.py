@@ -152,6 +152,31 @@ def test_frame_loader_equalized_shards_and_global_layout(cfg):
         np.testing.assert_array_equal(valid, expect_valid)
 
 
+def test_shard_layout_cache_follows_pool_rebind(cfg):
+    """The memoized per-shard guid lists must refresh when pool.data is
+    rebound (resample builds a fresh permuted list).  Regression guard for
+    the id()-keyed cache: CPython reuses a freed list's id, so a same-length
+    rebind could silently serve the OLD layout and mis-key every score —
+    the cache now validates with an `is` check on the held snapshot."""
+    ds = build_dataset(cfg, "train")
+    ds.label_all()
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(0))
+    loader = FrameLoader(
+        ds, cfg.DATA, 4, batch_size=2, num_shards=2, shard_index=0, prefetch=0
+    )
+    first_guids, _ = loader.global_batch_layout(0)
+    snapshot = loader._shard_guids_cache[0]
+    assert snapshot is ds.data  # the cache pins the exact snapshot object
+    # Same length, different permutation: only the rebind distinguishes it.
+    ds.resample_frames(-1, epoch_size=0, rng=np.random.default_rng(7))
+    assert ds.data is not snapshot
+    order = [f["guid"] for f in ds.data]
+    expect = order[0::2][:2]  # shard 0's first batch after the rebind
+    new_guids, _ = loader.global_batch_layout(0)
+    assert new_guids[:2] == expect
+    assert loader._shard_guids_cache[0] is ds.data
+
+
 def test_device_prepare_heatmaps_peak_at_keypoints(cfg):
     ds = build_dataset(cfg, "train")
     frame = next(iter(ds.unlabeled_data.values()))

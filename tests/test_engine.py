@@ -71,18 +71,79 @@ def test_train_step_skips_on_loss_clip():
 
 
 def test_padded_frames_contribute_zero_loss():
+    """A padded tail batch must train exactly like the pad-free batch of
+    its real rows: zero loss from the padding AND a denominator counting
+    only real crops (the reference's loaders never pad with zero-loss
+    rows, pose_estimators/loss.py:14-20 divides by the real leading dim)."""
     cfg = _cfg()
     engine = Engine(cfg)
     # train_step donates its state: use two identically-seeded states.
     state_a = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
     state_b = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
     images, gt, pvjv, _ = _batch()
-    fv_all = jnp.asarray(np.ones(2, bool))
+    # Padding row duplicates the real row: train-mode BatchNorm statistics
+    # are then identical between the padded 2-frame batch and the pad-free
+    # 1-frame batch (duplicating rows changes neither mean nor variance),
+    # isolating the loss normalization under test from BN batch effects.
+    images = jnp.concatenate([images[:1], images[:1]])
+    gt = jnp.concatenate([gt[:1], gt[:1]])
     fv_half = jnp.asarray(np.array([True, False]))
-    _, m_all = engine.train_step(state_a, images, gt, pvjv, fv_all)
-    _, m_half = engine.train_step(state_b, images, gt, pvjv, fv_half)
-    # Identical data in frame 0 -> masking frame 1 must reduce the loss.
-    assert float(m_half["loss"]) < float(m_all["loss"])
+    _, m_half = engine.train_step(state_a, images, gt, pvjv, fv_half)
+    _, m_solo = engine.train_step(
+        state_b,
+        images[:1],
+        gt[:1],
+        pvjv[:1],
+        jnp.asarray(np.ones(1, bool)),
+    )
+    # rtol covers f32 reduction-order noise between the two executables
+    # (measured ~8e-5); the dilution bug under test was a 2x error.
+    np.testing.assert_allclose(
+        float(m_half["loss"]), float(m_solo["loss"]), rtol=1e-3
+    )
+
+
+def test_lr_schedule_advances_across_skipped_steps():
+    """The LR schedule must advance on skipped steps (the reference calls
+    lr_scheduler.step() outside the skip guard, strategy.py:486), while
+    Adam's own state rolls back — regression test for the schedule count
+    living inside opt_state, where the skip rollback rewound it."""
+    cfg = _cfg(clip=1e-12)  # everything exceeds the clip -> always skip
+    cfg.TRAIN.OPTIM.LR = 0.001
+    cfg.TRAIN.OPTIM.LR_DECAY_STEP_SIZE = 2
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    batch = _batch()
+    lrs = []
+    for _ in range(4):
+        state, metrics = engine.train_step(state, *batch)
+        assert bool(metrics["skipped"])
+        lrs.append(float(metrics["lr"]))
+    # lr applied at (0-based) step k is schedule(k); decay every 2 steps
+    # regardless of the 4 consecutive skips.
+    np.testing.assert_allclose(lrs, [1e-3, 1e-3, 1e-4, 1e-4], rtol=1e-6)
+
+
+def test_all_padding_batch_applies_no_update():
+    """An all-padding batch (multi-process shard equalization) has zero
+    loss and zero gradients — it must be step-skipped, not apply a
+    pure-momentum Adam update."""
+    cfg = _cfg()
+    engine = Engine(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    images, gt, pvjv, fv = _batch()
+    # One real step first so Adam's momentum is non-zero (at init the
+    # moments are zero and even a buggy update would be a no-op).
+    state, m = engine.train_step(state, images, gt, pvjv, fv)
+    assert not bool(m["skipped"])
+    p1 = jax.device_get(state.params)
+    fv_none = jnp.asarray(np.zeros(2, bool))
+    state, m = engine.train_step(state, images, gt, pvjv, fv_none)
+    assert bool(m["skipped"])
+    p2 = jax.device_get(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state.step) == 2  # step (and hence the LR schedule) advances
 
 
 def test_loss_step_per_frame():
