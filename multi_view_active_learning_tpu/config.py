@@ -72,6 +72,14 @@ class ALConfig:
     # Beyond-reference: weight the DLT refit by per-view heatmap peak
     # confidence (weighted least squares).  Off by default for parity.
     CONFIDENCE_WEIGHTED_DLT: bool = False
+    # Huber-robust direct reprojection-error refinement after the RANSAC
+    # refit — the reference's `direct_optimization` triangulation() option
+    # (utils/triangulation.py:178,319-337: scipy least_squares huber/trf),
+    # here a fixed-iteration on-device Levenberg-Marquardt
+    # (ops/triangulate.py::_huber_refine).  Off by default like the
+    # reference (no caller there ever passes True); applies to the scoring
+    # pass only — eval triangulation stays at reference defaults.
+    DIRECT_OPTIMIZATION: bool = False
     # RANSAC budget: number of view pairs per joint.  64 is the reference's
     # own default (utils/triangulation.py:176); when C(V,2) <= 64 every pair
     # is used (exact), otherwise a seeded permutation picks 64 — one static
@@ -292,6 +300,13 @@ class TPUConfig:
     # rank correlation evidence in BENCH_NOTES round 3) at 269 vs 224
     # frames/s measured.  Set False for bit-float scoring parity runs.
     INT8_SCORING: bool = True
+    # Apply INT8_SCORING to HRNet too.  Off by default: HRNet's scoring
+    # step is bound by its small-channel (32/64) 3x3 exchange-unit convs —
+    # tiling/bandwidth-limited at 48% MFU, not MXU-peak-limited — so the s8
+    # path buys nothing and the requant epilogues net a measured LOSS
+    # (133-141 fps int8 vs 145 float, B=4 x 31 views, BENCH_NOTES round 3).
+    # PoseResNet (64-2048 channels, MXU-peak-bound) keeps int8: 280 vs 238.
+    INT8_SCORING_HRNET: bool = False
     # With INT8_SCORING, also run the PoseResNet deconv head through the
     # fused int8 Pallas phase-deconv kernel
     # (ops/pallas/deconv.py::fused_deconv_bn_relu_int8): the k4/s2

@@ -274,7 +274,17 @@ class Engine:
         return flat
 
     def _int8_supported(self) -> bool:
-        return self.cfg.POSE_ESTIMATOR.TYPE in ("POSE_RESNET", "HRNET")
+        """Int8 is implemented for both families but DEFAULTS on only where
+        it measures faster: PoseResNet (MXU-peak-bound, 280 vs 238 fps).
+        HRNet's small-channel exchange units are tiling-bound at 48% MFU —
+        int8 measured a net loss there (133-141 vs 145 fps, BENCH_NOTES
+        round 3) — so it needs the explicit TPU.INT8_SCORING_HRNET opt-in."""
+        if self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET":
+            return True
+        return (
+            self.cfg.POSE_ESTIMATOR.TYPE == "HRNET"
+            and bool(self.cfg.TPU.INT8_SCORING_HRNET)
+        )
 
     @property
     def use_int8(self) -> bool:
@@ -422,6 +432,7 @@ class Engine:
             method=self.cfg.TPU.DLT_METHOD,
             use_pallas=self.use_pallas,
             confidence_weighted=self.cfg.AL.CONFIDENCE_WEIGHTED_DLT,
+            direct_optimization=self.cfg.AL.DIRECT_OPTIMIZATION,
         )
         B = images.shape[0]
         if al_strategy == "RANDOM":

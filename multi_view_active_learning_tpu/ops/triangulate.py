@@ -158,6 +158,87 @@ def dlt_triangulate(
     return geometry.homogeneous_to_euclidean(h[None, :])[0]
 
 
+def _solve3(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the 3x3 system H x = b in closed form (Cramer via cofactors —
+    no batched linalg, so it stays cheap under vmap on TPU)."""
+    det = _det3(H)
+    # Cramer: x_j = det(H with column j replaced by b) / det(H).
+    cols = [_det3(H.at[..., :, j].set(b)) for j in range(3)]
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack(cols, axis=-1) / det[..., None]
+
+
+def _huber_refine(
+    x0: jnp.ndarray,
+    proj: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_iters: int,
+) -> jnp.ndarray:
+    """Direct reprojection-error minimization with a Huber loss — the
+    TPU-native equivalent of the reference's optional refinement stage
+    (utils/triangulation.py:319-337: `scipy.optimize.least_squares(
+    residual, x0, loss="huber", method="trf")` over the inlier views'
+    half-L2 reprojection errors).
+
+    scipy's trf is a dynamic trust-region loop; a compiled fixed-shape
+    program wants a fixed iteration count, so this is Levenberg-Marquardt
+    with IRLS Huber weights and per-step accept/reject damping — the same
+    stationary point (the problem is 3-parameter and locally convex around
+    the DLT init), reached in a static number of steps.  Matches scipy's
+    cost C(x) = 1/2 sum_v rho(r_v^2) with rho(z) = z for z <= 1 else
+    2 sqrt(z) - 1 (f_scale = 1, scipy's default), r_v the half-L2 error of
+    inlier view v.  Agreement with scipy is pinned by
+    tests/test_triangulation.py::test_direct_optimization_matches_scipy.
+
+    x0: [3] DLT solution; proj: [V, 3, 4]; points: [V, 2];
+    mask: [V] 1.0 for inlier views.  Returns the refined [3].
+    """
+    eps = 1e-12
+
+    def residuals_2d(x):
+        # Full 2D residual per view, e_v = proj_v(x) - obs_v: GN on these
+        # keeps the 2x3 per-view Jacobian structure (a scalar-norm residual
+        # formulation collapses it to rank 1 and crawls along the lost
+        # direction — measured: 3x the iterations to the same optimum).
+        return geometry.project_points(proj, x[None, None, :])[:, 0, :] - points
+
+    def cost(x):
+        # scipy's objective: C = 1/2 sum_v rho(r_v^2), r_v = 0.5 ||e_v||.
+        z = 0.25 * jnp.sum(jnp.square(residuals_2d(x)), axis=-1)
+        rho = jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, eps)) - 1.0)
+        return 0.5 * jnp.sum(rho * mask)
+
+    jac = jax.jacfwd(residuals_2d)  # [V, 2, 3]
+
+    def step(carry, _):
+        x, lam = carry
+        e = residuals_2d(x)  # [V, 2]
+        J = jac(x)  # [V, 2, 3]
+        # IRLS weight rho'(z) at z = r^2: 1 in the quadratic zone, 1/r
+        # beyond the Huber knee — masked to the inlier set.  (dC/dx =
+        # 1/4 sum rho' J_v^T e_v; the common 1/4 cancels between H and g.)
+        z = 0.25 * jnp.sum(jnp.square(e), axis=-1)
+        w = jnp.where(z <= 1.0, 1.0, 1.0 / jnp.sqrt(jnp.maximum(z, eps)))
+        w = w * mask  # [V]
+        g = jnp.einsum("vri,vr->i", J, e * w[:, None])  # [3]
+        H = jnp.einsum("vri,vrj,v->ij", J, J, w)  # [3, 3]
+        # Damping scaled by the mean diagonal so lambda is unit-free
+        # (projection matrices span ~1e5 across rigs).
+        diag_scale = jnp.maximum(jnp.trace(H) / 3.0, eps)
+        delta = _solve3(H + lam * diag_scale * jnp.eye(3, dtype=H.dtype), -g)
+        x_new = x + delta
+        better = cost(x_new) < cost(x)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, lam * 0.1, lam * 10.0)
+        return (x, lam), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x0, jnp.asarray(1e-3, x0.dtype)), None, length=n_iters
+    )
+    return x
+
+
 def _ransac_single_joint(
     proj: jnp.ndarray,
     points: jnp.ndarray,
@@ -165,6 +246,8 @@ def _ransac_single_joint(
     epsilon: float,
     method: str,
     confidence: Optional[jnp.ndarray] = None,
+    direct_optimization: bool = False,
+    direct_opt_iters: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape RANSAC for one joint.
 
@@ -179,6 +262,12 @@ def _ransac_single_joint(
     refit — rows scaled by sqrt(conf) so residuals are weighted by each
     view's heatmap peak confidence.  Inlier selection and the reported
     error/count are unaffected.
+
+    `direct_optimization` (reference: utils/triangulation.py:178,319-337):
+    Huber-robust direct minimization of the inlier reprojection errors from
+    the DLT solution (`_huber_refine`); the reported mean error is then the
+    refined point's, exactly as the reference recomputes it post-refinement
+    (utils/triangulation.py:332-336).
     """
     num_views = proj.shape[0]
     rows = _dlt_rows(proj, points)  # [V, 2, 4]
@@ -207,6 +296,10 @@ def _ransac_single_joint(
     if confidence is not None:
         refit_w = best_mask * jnp.sqrt(jnp.maximum(confidence, 1e-3))
     keypoint_3d = dlt_triangulate(proj, points, weights=refit_w, method=method)
+    if direct_optimization:
+        keypoint_3d = _huber_refine(
+            keypoint_3d, proj, points, best_mask, direct_opt_iters
+        )
     final_err = geometry.reprojection_error(
         keypoint_3d[None, :], points[:, None, :], proj
     )[..., 0]  # [V]
@@ -226,6 +319,8 @@ def _ransac_single_joint(
         "method",
         "use_pallas",
         "confidence_weighted",
+        "direct_optimization",
+        "direct_opt_iters",
     ),
 )
 def triangulate_frames(
@@ -241,6 +336,8 @@ def triangulate_frames(
     method: str = "eigh",
     use_pallas: bool = False,
     confidence_weighted: bool = False,
+    direct_optimization: bool = False,
+    direct_opt_iters: int = 32,
 ) -> Dict[str, jnp.ndarray]:
     """Triangulate a whole batch of multi-view frames in one compiled call.
 
@@ -284,7 +381,9 @@ def triangulate_frames(
         per_joint = jax.vmap(
             jax.vmap(
                 lambda pts, pr, cf: _ransac_single_joint(
-                    pr, pts, pairs, epsilon, method, confidence=cf
+                    pr, pts, pairs, epsilon, method, confidence=cf,
+                    direct_optimization=direct_optimization,
+                    direct_opt_iters=direct_opt_iters,
                 ),
                 in_axes=(0, None, 0),
             ),
@@ -294,7 +393,11 @@ def triangulate_frames(
     else:
         per_joint = jax.vmap(  # over batch
             jax.vmap(  # over joints
-                lambda pts, pr: _ransac_single_joint(pr, pts, pairs, epsilon, method),
+                lambda pts, pr: _ransac_single_joint(
+                    pr, pts, pairs, epsilon, method,
+                    direct_optimization=direct_optimization,
+                    direct_opt_iters=direct_opt_iters,
+                ),
                 in_axes=(0, None),
             ),
             in_axes=(0, 0),
