@@ -56,6 +56,17 @@ POOL_FRAMES = int(os.environ.get("BENCH_POOL_FRAMES", "64"))
 POOL_WORKERS = int(os.environ.get("BENCH_POOL_WORKERS", "2"))
 
 
+def _apply_int8_env(cfg):
+    """BENCH_INT8 semantics: unset = the PRODUCT defaults (PoseResNet int8,
+    HRNet float — TPU.INT8_SCORING_HRNET measured a net loss, BENCH_NOTES
+    round 3); "1"/"0" force int8/float for whichever model is benched."""
+    v = os.environ.get("BENCH_INT8", "")
+    if v == "":
+        return
+    cfg.TPU.INT8_SCORING = v == "1"
+    cfg.TPU.INT8_SCORING_HRNET = v == "1"
+
+
 def pool_mode():
     """End-to-end product-path scoring (reference: strategy.py:925-930 +
     1004-1147): host pipeline (JPEG decode, square-box crop, resize, uint8
@@ -87,7 +98,7 @@ def pool_mode():
     cfg.POSE_ESTIMATOR.TYPE = MODEL
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "1") == "1"
+    _apply_int8_env(cfg)
     cfg.AL.STRATEGY = "TRIANGULATION"
     cfg.AL.INFERENCE.BATCH_SIZE = BATCH
     cfg.AL.INFERENCE.NUM_WORKERS = POOL_WORKERS
@@ -140,9 +151,8 @@ def main():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PALLAS_HEAD = os.environ.get("BENCH_PALLAS_HEAD", "0") == "1"
-    # Int8 scoring is the framework default (TPU.INT8_SCORING, evidence in
-    # BENCH_NOTES round 3); BENCH_INT8=0 measures the float path.
-    cfg.TPU.INT8_SCORING = os.environ.get("BENCH_INT8", "1") == "1"
+    # Unset BENCH_INT8 measures the PRODUCT defaults; see _apply_int8_env.
+    _apply_int8_env(cfg)
     # Fused int8 Pallas phase-deconv head (TPU.INT8_DECONV).
     cfg.TPU.INT8_DECONV = os.environ.get("BENCH_INT8_DECONV", "0") == "1"
     engine = Engine(cfg)

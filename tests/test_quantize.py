@@ -205,3 +205,27 @@ def test_int8_evaluation_path(tmp_path):
     assert abs(i8["mkpe"] - f32["mkpe"]) / max(f32["mkpe"], 1e-6) < 0.5, (
         f32["mkpe"], i8["mkpe"],
     )
+
+
+def test_int8_default_gated_per_model_family():
+    """TPU.INT8_SCORING defaults on only where int8 measures FASTER:
+    PoseResNet (MXU-peak-bound).  HRNet's small-channel exchange units are
+    tiling-bound and int8 measured a net loss (133-141 vs 145 fps,
+    BENCH_NOTES round 3), so HRNet needs the TPU.INT8_SCORING_HRNET
+    opt-in."""
+    from multi_view_active_learning_tpu.engine import Engine
+
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    assert cfg.TPU.INT8_SCORING  # framework default
+    assert Engine(cfg).use_int8  # PoseResNet: on
+
+    cfg_hr = get_default_configs()
+    cfg_hr.DATA.NUM_JOINTS = 4
+    cfg_hr.POSE_ESTIMATOR.TYPE = "HRNET"
+    assert not Engine(cfg_hr).use_int8  # HRNet: off by default (measured)
+    cfg_hr.TPU.INT8_SCORING_HRNET = True
+    assert Engine(cfg_hr).use_int8  # explicit opt-in still works
+    cfg_hr.TPU.INT8_SCORING = False
+    assert not Engine(cfg_hr).use_int8  # master switch still wins

@@ -67,6 +67,13 @@ def main():
         cfg.POSE_ESTIMATOR.NUM_LAYERS = args.num_layers
     if args.num_joints is not None:
         cfg.DATA.NUM_JOINTS = args.num_joints
+    if args.int8_calib:
+        # --int8-calib is an explicit request: force the int8 path on even
+        # for model families where the SCORING default is float (HRNet,
+        # TPU.INT8_SCORING_HRNET) — a frozen artifact's backend may differ
+        # from the backend those defaults were measured on.
+        cfg.TPU.INT8_SCORING = True
+        cfg.TPU.INT8_SCORING_HRNET = True
 
     engine = Engine(cfg)
     state = engine.init_state(
