@@ -195,9 +195,10 @@ def main():
     # work, not milliseconds: consecutive cold bench runs measured 260 ->
     # 279 -> 283 fps (BENCH_NOTES round-3 "tunnel restored" section), so a
     # fixed few-second warm-up under-reports steady state by ~8%.  Warm in
-    # 20-step windows until the window rate stops improving (>0.5%) twice
-    # in a row, capped at 90 s.  Host fetches force real execution —
-    # block_until_ready is unreliable through the tunnel.
+    # 20-step windows until the window rate stops improving (>0.5%) three
+    # times in a row (and >= 60 s elapsed), capped at 150 s.  Host fetches
+    # force real execution — block_until_ready is unreliable through the
+    # tunnel.
     def chained_steps(n):
         carry = jnp.zeros((), jnp.uint8)
         for _ in range(n):

@@ -87,7 +87,14 @@ _DEVICE_CROP_CACHE_DIVISOR = 32
 _SHARED_EXECUTOR: ProcessPoolExecutor | None = None
 _SHARED_EXECUTOR_SIZE = 0
 _RETIRED_EXECUTORS: List[ProcessPoolExecutor] = []
-_SHARED_EXECUTORS_LOCK = threading.Lock()
+# Live-FrameLoader count per executor (keyed by id; the executor object is
+# pinned by _SHARED_EXECUTOR/_RETIRED_EXECUTORS/loader refs while counted).
+# A grown-past pool used to idle until process exit, pinning every worker's
+# warmed VIEW_CACHE copy (up to ~GBs); now it shuts down when its last
+# holder releases it.  RLock: _acquire_shared_executor wraps
+# _shared_executor under the same lock.
+_EXECUTOR_REFS: Dict[int, int] = {}
+_SHARED_EXECUTORS_LOCK = threading.RLock()
 
 
 def _main_module_reimportable() -> bool:
@@ -134,13 +141,18 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor | None:
         ex = _SHARED_EXECUTOR
         if ex is None or _SHARED_EXECUTOR_SIZE < num_workers:
             if ex is not None:
-                # Grow: retire the smaller pool WITHOUT shutting it down —
-                # a sweep mid-iteration still holds it (its _prepared
-                # captured the executor once), and submit-after-shutdown
-                # raises into that sweep's prefetch thread.  The retired
-                # pool idles (workers block on an empty queue) until
-                # process exit; new sweeps re-fetch the bigger pool.
-                _RETIRED_EXECUTORS.append(ex)
+                # Grow: the smaller pool must not be shut down while a
+                # sweep mid-iteration still holds it (its _prepared
+                # captured the executor once; submit-after-shutdown raises
+                # into that sweep's prefetch thread).  With no live holder
+                # it shuts down NOW; otherwise it is retired and the last
+                # _release_shared_executor shuts it down — either way its
+                # workers (each pinning a warmed VIEW_CACHE copy) do not
+                # idle until process exit.
+                if _EXECUTOR_REFS.get(id(ex), 0) <= 0:
+                    ex.shutdown(wait=False, cancel_futures=True)
+                else:
+                    _RETIRED_EXECUTORS.append(ex)
             ex = None
         if ex is None:
             if _main_module_reimportable():
@@ -171,6 +183,38 @@ def _shared_executor(num_workers: int) -> ProcessPoolExecutor | None:
         return ex
 
 
+def _acquire_shared_executor(num_workers: int) -> ProcessPoolExecutor | None:
+    """`_shared_executor` plus a liveness ref (FrameLoader holds one per
+    executor it uses).  Callers MUST pair with `_release_shared_executor`
+    so grown-past pools can be reclaimed (see `_EXECUTOR_REFS`)."""
+    with _SHARED_EXECUTORS_LOCK:
+        ex = _shared_executor(num_workers)
+        if ex is not None:
+            _EXECUTOR_REFS[id(ex)] = _EXECUTOR_REFS.get(id(ex), 0) + 1
+        return ex
+
+
+def _release_shared_executor(ex: ProcessPoolExecutor | None) -> None:
+    """Drop one liveness ref.  A RETIRED executor (grown past, no longer
+    the shared pool) shuts down when its last holder releases it; the
+    CURRENT pool stays warm for future loaders regardless."""
+    if ex is None:
+        return
+    with _SHARED_EXECUTORS_LOCK:
+        n = _EXECUTOR_REFS.get(id(ex), 0) - 1
+        if n > 0:
+            _EXECUTOR_REFS[id(ex)] = n
+            return
+        _EXECUTOR_REFS.pop(id(ex), None)
+        if ex is _SHARED_EXECUTOR:
+            return
+        try:
+            _RETIRED_EXECUTORS.remove(ex)
+        except ValueError:
+            return  # already shut down (shutdown_shared_executors)
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 def shutdown_shared_executors() -> None:
     global _SHARED_EXECUTOR, _SHARED_EXECUTOR_SIZE
     with _SHARED_EXECUTORS_LOCK:
@@ -179,6 +223,7 @@ def shutdown_shared_executors() -> None:
         for ex in _RETIRED_EXECUTORS:
             ex.shutdown(wait=False, cancel_futures=True)
         _RETIRED_EXECUTORS.clear()
+        _EXECUTOR_REFS.clear()
         _SHARED_EXECUTOR = None
         _SHARED_EXECUTOR_SIZE = 0
 
@@ -496,13 +541,22 @@ class FrameLoader:
         if self.num_workers > 0:
             # Re-fetch every sweep: the shared pool may have been grown (and
             # the old one retired) by a loader with a larger worker count.
-            self._executor = _shared_executor(self.num_workers)
+            # Ref-counted so a retired pool shuts down once its last holder
+            # lets go (close / the swap below) instead of idling til exit.
+            ex = _acquire_shared_executor(self.num_workers)
+            if ex is self._executor:
+                _release_shared_executor(ex)  # already hold a ref
+            else:
+                _release_shared_executor(self._executor)
+                self._executor = ex
         return self._executor
 
     def close(self) -> None:
-        # Drop the reference only: the executor is process-shared
-        # (shutdown happens once at exit via shutdown_shared_executors).
-        self._executor = None
+        # Release the liveness ref: the executor is process-shared (the
+        # current pool stays warm; a grown-past one shuts down with its
+        # last holder — see _release_shared_executor).
+        ex, self._executor = self._executor, None
+        _release_shared_executor(ex)
 
     def __enter__(self) -> "FrameLoader":
         return self

@@ -73,11 +73,22 @@ def process_barrier(name: str, timeout_ms: int = 600_000) -> None:
         client.wait_at_barrier(name, timeout_ms)
 
 
+_BROADCAST_COUNTS: dict = {}
+
+
 def broadcast_string(key: str, value: str, timeout_ms: int = 600_000) -> str:
     """Process 0 publishes `value` under `key` in the distributed KV
     store; every process returns process 0's value.  Used for host-side
     run metadata that must agree across processes (e.g. the timestamped
-    EXPR_NAME every artifact path hangs off).  Single-process: identity."""
+    EXPR_NAME every artifact path hangs off).  Single-process: identity.
+
+    KV keys are write-once (a second key_value_set of the same key fails)
+    and late readers would otherwise be served a previous call's value, so
+    the wire key is suffixed with a per-key invocation counter — identical
+    across processes as long as every process reaches each broadcast site
+    the same number of times (the multi-controller SPMD contract this
+    whole module assumes).  A second workflow.main() in one distributed
+    session therefore gets a fresh stamp instead of a crash or run 1's."""
     if jax.process_count() == 1:
         return value
     from jax._src import distributed
@@ -85,10 +96,13 @@ def broadcast_string(key: str, value: str, timeout_ms: int = 600_000) -> str:
     client = distributed.global_state.client
     if client is None:
         return value
+    n = _BROADCAST_COUNTS.get(key, 0)
+    _BROADCAST_COUNTS[key] = n + 1
+    wire_key = "%s/%d" % (key, n)
     if jax.process_index() == 0:
-        client.key_value_set(key, value)
+        client.key_value_set(wire_key, value)
         return value
-    return client.blocking_key_value_get(key, timeout_ms)
+    return client.blocking_key_value_get(wire_key, timeout_ms)
 
 
 def make_mesh(

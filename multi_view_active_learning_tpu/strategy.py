@@ -244,7 +244,11 @@ class ActiveLearningStrategy:
         pending = deque()
         for item in dispatched:
             pending.append(item)
-            if len(pending) > self.SWEEP_INFLIGHT_WINDOW:
+            # >= : the window is a hard residency bound — at no point are
+            # more than SWEEP_INFLIGHT_WINDOW batches dispatched-unfetched
+            # (sizing the window to the HBM budget must be exact; a strict
+            # > here held window+1).
+            if len(pending) >= self.SWEEP_INFLIGHT_WINDOW:
                 meta, tree = pending.popleft()
                 yield meta, self._fetch_global(tree)
         while pending:
@@ -495,6 +499,17 @@ class ActiveLearningStrategy:
         n_frames = 0
         int8_scales = None
         procs = jax.process_count()
+        if self.engine.use_int8:
+            # The default is measured-safe for selection (ranking-quality
+            # evidence in BENCH_NOTES round 3: rank_corr 0.93 / top-k
+            # overlap 1.0 / eval-MKPE delta 0.000 on trained synthetic
+            # checkpoints), but that evidence is synthetic — say so rather
+            # than quantize silently; one config key returns to float.
+            self._logger.info(
+                "Pool scoring uses the int8 backbone (TPU.INT8_SCORING "
+                "default; ranking-validated on synthetic checkpoints — set "
+                "TPU.INT8_SCORING: false for bit-float scoring)."
+            )
 
         def _dispatched():
             nonlocal key, int8_scales

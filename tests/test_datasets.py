@@ -351,9 +351,31 @@ def test_shared_executor_grows_and_loaders_refetch(cfg):
     assert big is not small
     assert pipeline._shared_executor(1) is big  # smaller requests reuse it
     assert loader._ensure_executor() is big  # loader re-fetched
+    # The re-fetch released the loader's ref on the retired pool — its last
+    # holder — so it was shut down (workers + warmed caches reclaimed),
+    # not left idling until process exit.
+    with pytest.raises(RuntimeError):
+        small.submit(int, 0)
+    assert small not in pipeline._RETIRED_EXECUTORS
     pipeline.VIEW_CACHE.clear()
     batches = list(loader)  # decodes through the grown pool
     assert sum(int(v) for b in batches for v in b["frame_valid"]) == 4
+
+
+def test_retired_executor_reclaimed_without_holders():
+    """Growth while NO loader holds the old pool shuts it down immediately
+    (previously it idled until process exit, pinning every worker's warmed
+    VIEW_CACHE copy)."""
+    from multi_view_active_learning_tpu.data import pipeline
+
+    pipeline.shutdown_shared_executors()
+    small = pipeline._acquire_shared_executor(1)
+    pipeline._release_shared_executor(small)  # no live holders remain
+    big = pipeline._shared_executor(2)  # growth reclaims the old pool NOW
+    assert big is not small
+    with pytest.raises(RuntimeError):
+        small.submit(int, 0)
+    assert not pipeline._RETIRED_EXECUTORS
 
 
 def test_decode_workers_never_initialize_jax(cfg):

@@ -72,6 +72,10 @@ _WORKER = textwrap.dedent(
     # process (run-name agreement), and the KV barrier rendezvouses
     # without any device collective (checkpoint-write fencing).
     assert parallel.broadcast_string("smoke/stamp", "p%d" % pid) == "p0"
+    # Re-broadcast under the SAME key: the per-key invocation counter must
+    # hand out a fresh wire key (a second workflow.main() in one session
+    # previously crashed on the write-once KV or read run 1's stale stamp).
+    assert parallel.broadcast_string("smoke/stamp", "q%d" % pid) == "q0"
     parallel.process_barrier("smoke/barrier")
 
     # FrameLoader process-sharding (the DistributedSampler equivalent):

@@ -56,10 +56,11 @@ def test_inflight_residency_is_bounded():
     window = 3
     _, results, inflight = _run(10, window=window)
     assert len(results) == 10
-    # While the dispatch loop is live, exactly `window` batches stay queued
-    # behind each fetched one; the drain phase only shrinks the queue.
-    assert max(inflight) <= window
-    assert inflight[0] == window  # first fetch happens at window+1 dispatches
+    # The window is a hard residency bound: dispatched-unfetched batches
+    # never exceed it.  After each in-loop fetch, window-1 stay queued; the
+    # drain phase only shrinks the queue.
+    assert max(inflight) <= window - 1
+    assert inflight[0] == window - 1  # first fetch at `window` dispatches
 
 
 def test_short_sweeps_drain_completely():
