@@ -91,11 +91,15 @@ def decode_keypoints_pallas(
     valid: jnp.ndarray,
     use_soft_argmax: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+    with_peak: bool = False,
+):
     """Drop-in for ops.heatmap.decode_keypoints: [..., K, h, w] -> [..., K, 2].
 
     Invalid joints decode to (0, 0) like the reference
-    (utils/evaluation.py:21-23)."""
+    (utils/evaluation.py:21-23).  `with_peak=True` additionally returns the
+    per-map peak value [..., K] the kernel already computed (confidence for
+    the weighted-DLT path) — callers must not re-decode for it, since a
+    separate argmax pass cannot be CSE'd with the Pallas kernel."""
     lead = heatmaps.shape[:-2]
     h, w = heatmaps.shape[-2], heatmaps.shape[-1]
     flat = heatmaps.reshape(-1, h * w).astype(jnp.float32)
@@ -103,4 +107,7 @@ def decode_keypoints_pallas(
     coords = (
         out["soft_coords"] if use_soft_argmax else out["coords"]
     ).reshape(lead + (2,))
-    return jnp.where(valid[..., None], coords, jnp.zeros_like(coords))
+    coords = jnp.where(valid[..., None], coords, jnp.zeros_like(coords))
+    if with_peak:
+        return coords, out["peak"].reshape(lead)
+    return coords

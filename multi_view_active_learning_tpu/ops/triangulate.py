@@ -142,7 +142,7 @@ def dlt_triangulate(
     proj: jnp.ndarray,
     points: jnp.ndarray,
     weights: Optional[jnp.ndarray] = None,
-    method: str = "eigh",
+    method: str = "power",
 ) -> jnp.ndarray:
     """Weighted/masked DLT for one 3D point from V views.
 
@@ -333,7 +333,7 @@ def triangulate_frames(
     use_reprojection_xe: bool = False,
     sigma: float = 1.0,
     epsilon: float = 5.0,
-    method: str = "eigh",
+    method: str = "power",
     use_pallas: bool = False,
     confidence_weighted: bool = False,
     direct_optimization: bool = False,
@@ -360,12 +360,22 @@ def triangulate_frames(
     """
     B, V, h, w, K = heatmaps.shape
     hm_vk = jnp.moveaxis(heatmaps, -1, 2)  # [B, V, K, h, w]
+    peaks = None
     if use_pallas:
         from .pallas import decode as pallas_decode
 
-        keypoints_2d = pallas_decode.decode_keypoints_pallas(
-            hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
-        )
+        if confidence_weighted:
+            # The kernel computes the peak anyway; take it here instead of
+            # a second full-heatmap argmax pass (a separate decode cannot
+            # be CSE'd with the Pallas call).
+            keypoints_2d, peaks = pallas_decode.decode_keypoints_pallas(
+                hm_vk, float(stride), valid_joints[:, None, :],
+                use_soft_argmax, with_peak=True,
+            )
+        else:
+            keypoints_2d = pallas_decode.decode_keypoints_pallas(
+                hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
+            )
     else:
         keypoints_2d = heatmap.decode_keypoints(
             hm_vk, float(stride), valid_joints[:, None, :], use_soft_argmax
@@ -375,7 +385,9 @@ def triangulate_frames(
     if confidence_weighted:
         # Per-view heatmap peak as WLS weight, normalized per joint so the
         # weighting is scale-invariant across joints/frames.
-        _, peaks = heatmap.decode_argmax(hm_vk)  # [B, V, K]
+        if peaks is None:
+            # XLA CSEs this with decode_keypoints' argmax on the same input.
+            _, peaks = heatmap.decode_argmax(hm_vk)  # [B, V, K]
         conf = jnp.swapaxes(peaks, 1, 2)  # [B, K, V]
         conf = conf / jnp.maximum(jnp.max(conf, axis=-1, keepdims=True), 1e-6)
         per_joint = jax.vmap(

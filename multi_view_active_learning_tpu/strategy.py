@@ -63,6 +63,16 @@ class ActiveLearningStrategy:
             kp_values = []
             for guid in clusters:
                 kp = np.asarray(clusters[guid], dtype=np.float64)
+                if kp.ndim < 2:
+                    # A LOSS-type cluster dump ({guid: scalar}) cannot seed
+                    # the pose KMeans; the reference crashes with a bare
+                    # IndexError here (strategy.py:38-52) — fail clearly.
+                    raise ValueError(
+                        "SAL.CLUSTER_FILE_PATH must hold per-guid 3D poses "
+                        "(a POSE-type cluster dump); entry %r has shape %s. "
+                        "LOSS-type cluster files are for analysis, not "
+                        "KMeans seeding." % (guid, kp.shape)
+                    )
                 if kp.shape[0] != 3 and kp.shape[-1] >= 3:
                     kp = kp.T[:3]  # [K, >=3] -> [3, K]
                 kp = kp[:3] - kp[:3, self.joint_root_index : self.joint_root_index + 1]
@@ -371,9 +381,19 @@ class ActiveLearningStrategy:
         return train_pool
 
     def _random_sample_frames(self, pool, num_frames: int, salt: int = 0) -> List[str]:
-        """Reference: strategy.py:868-878."""
+        """Reference: strategy.py:868-878.  A request larger than the
+        remaining unlabeled pool selects the whole pool with a warning —
+        consistent with the metric-driven strategies, where `nlargest`
+        truncates (the reference instead crashes deep inside
+        random.sample)."""
         rng = self._rng(salt)
         guids = list(pool.unlabeled_data.keys())
+        if num_frames > len(guids):
+            self._logger.warning(
+                "Random sampling requested %d frames but only %d remain "
+                "unlabeled; selecting all of them." % (num_frames, len(guids))
+            )
+            num_frames = len(guids)
         idx = rng.choice(len(guids), size=num_frames, replace=False)
         picked = [guids[i] for i in idx]
         pool.label_by_frame_guids(picked)
@@ -399,12 +419,29 @@ class ActiveLearningStrategy:
             if not math.isnan(v)
         }
         if cfg.AL.STRATEGY == "CORESET":
+            # Frames whose triangulation failed (non-finite keypoints) are
+            # excluded: a NaN feature row wins every jnp.argmax and then
+            # poisons the min-distance vector, so k-center-greedy would
+            # return the same frame n times (the reference's sklearn
+            # pairwise_distances simply rejects NaN input).  al_metric is
+            # NaN-filtered the same way above.
+            coreset_candidates = OrderedDict(
+                (guid, kp)
+                for guid, kp in sal_dict["pred_3d_keypoints"].items()
+                if np.isfinite(kp).all()
+            )
+            dropped = len(sal_dict["pred_3d_keypoints"]) - len(coreset_candidates)
+            if dropped:
+                self._logger.warning(
+                    "CORESET: dropped %d frames with non-finite triangulated "
+                    "keypoints from the candidate pool." % dropped
+                )
             cs = coreset_ops.CoreSet(
-                sal_dict["pred_3d_keypoints"],
+                coreset_candidates,
                 train_pool.get_al_dict_for_coreset(),
                 self.joint_root_index,
             )
-            al_guids = cs.select_batch(al_num_frames)
+            al_guids = cs.select_batch(min(al_num_frames, len(coreset_candidates)))
         else:
             al_guids = nlargest(
                 al_num_frames, al_metric_dict, key=al_metric_dict.get
@@ -552,16 +589,23 @@ class ActiveLearningStrategy:
                 # pipelined fetch keeps the device fed between batches.
                 yield (guids, frame_valid), out
 
-        for (guids, frame_valid), out in self._pipelined_fetch(_dispatched()):
-            for i, guid in enumerate(guids):
-                if not frame_valid[i]:
-                    continue
-                sal_dict["sal_metric"][guid] = float(out["sal_metric"][i])
-                sal_dict["inlier_count"][guid] = float(out["inlier_count"][i])
-                sal_dict["pred_3d_keypoints"][guid] = out["keypoints_3d"][i].tolist()
-                sal_dict["al_metric"][guid] = float(out["al_metric"][i])
-                sal_dict["mkpe"][guid] = float(out["mkpe"][i])
-                n_frames += 1
+        try:
+            for (guids, frame_valid), out in self._pipelined_fetch(_dispatched()):
+                for i, guid in enumerate(guids):
+                    if not frame_valid[i]:
+                        continue
+                    sal_dict["sal_metric"][guid] = float(out["sal_metric"][i])
+                    sal_dict["inlier_count"][guid] = float(out["inlier_count"][i])
+                    sal_dict["pred_3d_keypoints"][guid] = out["keypoints_3d"][i].tolist()
+                    sal_dict["al_metric"][guid] = float(out["al_metric"][i])
+                    sal_dict["mkpe"][guid] = float(out["mkpe"][i])
+                    n_frames += 1
+        finally:
+            # Release the decode-pool liveness ref deterministically
+            # (pipeline._acquire_shared_executor's MUST-pair contract);
+            # without this, a later NUM_WORKERS growth could retire a pool
+            # that never shuts down.
+            loader.close()
         dt = time.time() - t0
         if n_frames:
             self._logger.info(
@@ -652,133 +696,173 @@ class ActiveLearningStrategy:
             -1, train_cfg.DATA.EPOCH_SIZE, rng=self._rng(2 + max(iteration_idx, 0))
         )
         train_loader = self._get_loader(train_pool, train_cfg.TRAIN.BATCH_SIZE)
-        total_steps = max(
-            train_cfg.TRAIN.OPTIM.TOTAL_STEPS, train_cfg.TRAIN.LOG_EVERY_ITER
-        )
-        key = jax.random.PRNGKey(int(train_cfg.RANDOM_SEED) & 0x7FFFFFFF)
-        epoch, global_step = 0, int(jax.device_get(state.step))
-        if global_step:
-            self._logger.info("Resuming training at step %d." % global_step)
-        last_loss = float("nan")
-        skip_sum = jnp.zeros((), jnp.int32)
-        t_start, steps_timed = time.time(), 0
-        step_timer = profiling.StepTimer()
-        while global_step < total_steps:
-            epoch += 1
-            batches_this_epoch = 0
-            for batch in train_loader:
-                batches_this_epoch += 1
-                key, bkey = jax.random.split(key)
-                images, gt_heat = self._device_batch(batch, train=True, key=bkey)
-                state, metrics = self.engine.train_step(
-                    state,
-                    images,
-                    gt_heat,
-                    self._put(batch["per_view_joint_valid"], view_axis=True),
-                    self._put(batch["frame_valid"]),
-                )
-                global_step += 1
-                steps_timed += 1
-                step_timer.tick()
-                # No per-step host fetches: float(metrics[...]) every step
-                # costs one blocking device round-trip per step and was the
-                # training-throughput bottleneck (10 steps/s wall vs the
-                # 88/s device step through the tunneled runtime).  Skips
-                # accumulate on device and are reported at log points.
-                skip_sum = skip_sum + metrics["skipped"]
-                if global_step % train_cfg.TRAIN.LOG_EVERY_ITER == 0:
-                    # Pure-train window rate, measured before the log-point
-                    # work (eval, checkpoints, figure rendering).
-                    steps_per_sec = steps_timed / max(time.time() - t_start, 1e-9)
-                    last_loss = float(metrics["loss"])
-                    skips = int(jax.device_get(skip_sum))
-                    if skips:
-                        self._logger.warning(
-                            "%d steps skipped so far (non-finite/clipped "
-                            "loss; in-graph step-skip)." % skips
-                        )
-                    eval_results = self._evaluate_all(iteration_idx, state, val_loader)
-                    if _is_main():
-                        # One fetch + one serialize; the rolling CKPT-FINAL
-                        # is a host-side copy of the step-named file.
-                        ckpt.save_checkpoints(
-                            [
-                                os.path.join(
-                                    checkpoints_dir,
-                                    "CKPT-E%d-MKPE%.2f"
-                                    % (global_step, eval_results["mkpe"]),
-                                ),
-                                os.path.join(checkpoints_dir, "CKPT-FINAL"),
-                            ],
-                            state,
-                            epoch,
-                        )
-                        writer.add_scalar(
-                            "lr", float(metrics["lr"]), global_step
-                        )
-                        writer.add_scalar("3D MKPE", eval_results["mkpe"], global_step)
-                        writer.add_scalar("loss/train", last_loss, global_step)
-                        writer.add_pck_curves(
-                            "3DPCK",
-                            global_step,
-                            eval_results["thresholds"],
-                            eval_results["pcks"],
-                        )
-                        if "pckh_thresholds" in eval_results:
-                            writer.add_pck_curves(
-                                "3DPCKH",
-                                global_step,
-                                eval_results["pckh_thresholds"],
-                                eval_results["pckh_pcks"],
-                            )
-                        writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
-                        if jax.process_count() == 1:
-                            # Figure rendering fetches data-sharded arrays
-                            # (frame 0's heatmap/image); multi-process would
-                            # need a collective gather inside this
-                            # process-0-only branch (deadlock) — skip the
-                            # diagnostic images there, keep the scalars.
-                            self._log_train_figures(
-                                writer, metrics["first_heatmap"], images,
-                                gt_heat, global_step,
-                            )
-                        for k, v in step_timer.summary().items():
-                            writer.add_scalar("perf/%s" % k, v, global_step)
-                        for dev, stats in profiling.device_memory_stats().items():
-                            writer.add_scalar(
-                                "hbm/%s/bytes_in_use_gib" % dev,
-                                stats["bytes_in_use_gib"],
-                                global_step,
-                            )
-                        self._logger.info(
-                            "[EPOCH %d][STEP %d] loss %.4f mkpe %.2f (%.2f steps/s)"
-                            % (
-                                epoch,
-                                global_step,
-                                last_loss,
-                                eval_results["mkpe"],
-                                steps_per_sec,
-                            )
-                        )
-                        t_start, steps_timed = time.time(), 0
-                    # Process-0's checkpoint write above is host-side and
-                    # un-synchronized (the checkpointer is process-local by
-                    # design); the other processes must not race ahead into
-                    # the next iteration's restore of this very checkpoint
-                    # — KV barrier, unique key per save point.
-                    from . import parallel
-
-                    parallel.process_barrier(
-                        "ckpt/%s/%d" % (train_cfg.EXPR_NAME, global_step)
+        try:
+            total_steps = max(
+                train_cfg.TRAIN.OPTIM.TOTAL_STEPS, train_cfg.TRAIN.LOG_EVERY_ITER
+            )
+            key = jax.random.PRNGKey(int(train_cfg.RANDOM_SEED) & 0x7FFFFFFF)
+            epoch, global_step = 0, int(jax.device_get(state.step))
+            if global_step:
+                self._logger.info("Resuming training at step %d." % global_step)
+            last_loss = float("nan")
+            skip_sum = jnp.zeros((), jnp.int32)
+            t_start, steps_timed = time.time(), 0
+            step_timer = profiling.StepTimer()
+            while global_step < total_steps:
+                epoch += 1
+                batches_this_epoch = 0
+                for batch in train_loader:
+                    batches_this_epoch += 1
+                    key, bkey = jax.random.split(key)
+                    images, gt_heat = self._device_batch(batch, train=True, key=bkey)
+                    state, metrics = self.engine.train_step(
+                        state,
+                        images,
+                        gt_heat,
+                        self._put(batch["per_view_joint_valid"], view_axis=True),
+                        self._put(batch["frame_valid"]),
                     )
-                if global_step >= total_steps:
-                    break
-            if batches_this_epoch == 0:
-                raise RuntimeError(
-                    "Train loader yielded no batches (labeled pool size %d, "
-                    "batch size %d) — training cannot make progress."
-                    % (len(train_pool.labeled_data), train_cfg.TRAIN.BATCH_SIZE)
+                    global_step += 1
+                    steps_timed += 1
+                    step_timer.tick()
+                    # No per-step host fetches: float(metrics[...]) every step
+                    # costs one blocking device round-trip per step and was the
+                    # training-throughput bottleneck (10 steps/s wall vs the
+                    # 88/s device step through the tunneled runtime).  Skips
+                    # accumulate on device and are reported at log points.
+                    skip_sum = skip_sum + metrics["skipped"]
+                    if global_step % train_cfg.TRAIN.LOG_EVERY_ITER == 0:
+                        # Pure-train window rate, measured before the log-point
+                        # work (eval, checkpoints, figure rendering).
+                        steps_per_sec = steps_timed / max(time.time() - t_start, 1e-9)
+                        last_loss = float(metrics["loss"])
+                        skips = int(jax.device_get(skip_sum))
+                        if skips:
+                            self._logger.warning(
+                                "%d steps skipped so far (non-finite/clipped "
+                                "loss; in-graph step-skip)." % skips
+                            )
+                        eval_results = self._evaluate_all(iteration_idx, state, val_loader)
+                        if _is_main():
+                            # One fetch + one serialize; the rolling CKPT-FINAL
+                            # is a host-side copy of the step-named file.
+                            ckpt.save_checkpoints(
+                                [
+                                    os.path.join(
+                                        checkpoints_dir,
+                                        "CKPT-E%d-MKPE%.2f"
+                                        % (global_step, eval_results["mkpe"]),
+                                    ),
+                                    os.path.join(checkpoints_dir, "CKPT-FINAL"),
+                                ],
+                                state,
+                                epoch,
+                            )
+                            writer.add_scalar(
+                                "lr", float(metrics["lr"]), global_step
+                            )
+                            writer.add_scalar("3D MKPE", eval_results["mkpe"], global_step)
+                            writer.add_scalar("loss/train", last_loss, global_step)
+                            writer.add_pck_curves(
+                                "3DPCK",
+                                global_step,
+                                eval_results["thresholds"],
+                                eval_results["pcks"],
+                            )
+                            if "pckh_thresholds" in eval_results:
+                                writer.add_pck_curves(
+                                    "3DPCKH",
+                                    global_step,
+                                    eval_results["pckh_thresholds"],
+                                    eval_results["pckh_pcks"],
+                                )
+                            writer.add_scalar("steps_per_sec", steps_per_sec, global_step)
+                            if jax.process_count() == 1:
+                                # Figure rendering fetches data-sharded arrays
+                                # (frame 0's heatmap/image); multi-process would
+                                # need a collective gather inside this
+                                # process-0-only branch (deadlock) — skip the
+                                # diagnostic images there, keep the scalars.
+                                self._log_train_figures(
+                                    writer, metrics["first_heatmap"], images,
+                                    gt_heat, global_step,
+                                )
+                            for k, v in step_timer.summary().items():
+                                writer.add_scalar("perf/%s" % k, v, global_step)
+                            for dev, stats in profiling.device_memory_stats().items():
+                                writer.add_scalar(
+                                    "hbm/%s/bytes_in_use_gib" % dev,
+                                    stats["bytes_in_use_gib"],
+                                    global_step,
+                                )
+                            self._logger.info(
+                                "[EPOCH %d][STEP %d] loss %.4f mkpe %.2f (%.2f steps/s)"
+                                % (
+                                    epoch,
+                                    global_step,
+                                    last_loss,
+                                    eval_results["mkpe"],
+                                    steps_per_sec,
+                                )
+                            )
+                            t_start, steps_timed = time.time(), 0
+                        # Process-0's checkpoint write above is host-side and
+                        # un-synchronized (the checkpointer is process-local by
+                        # design); the other processes must not race ahead into
+                        # the next iteration's restore of this very checkpoint
+                        # — KV barrier, unique key per save point.
+                        from . import parallel
+
+                        parallel.process_barrier(
+                            "ckpt/%s/%d" % (train_cfg.EXPR_NAME, global_step)
+                        )
+                    if global_step >= total_steps:
+                        break
+                if batches_this_epoch == 0:
+                    raise RuntimeError(
+                        "Train loader yielded no batches (labeled pool size %d, "
+                        "batch size %d) — training cannot make progress."
+                        % (len(train_pool.labeled_data), train_cfg.TRAIN.BATCH_SIZE)
+                    )
+            if global_step % train_cfg.TRAIN.LOG_EVERY_ITER:
+                # TOTAL_STEPS is not a LOG_EVERY_ITER multiple: the
+                # reference saves only at log points (strategy.py:488-510),
+                # silently dropping the trailing steps from CKPT-FINAL —
+                # which the next AL iteration's scorer and AL_EVAL restore.
+                # Save the end-of-training weights explicitly instead.
+                eval_results = self._evaluate_all(iteration_idx, state, val_loader)
+                if _is_main():
+                    ckpt.save_checkpoints(
+                        [
+                            os.path.join(
+                                checkpoints_dir,
+                                "CKPT-E%d-MKPE%.2f"
+                                % (global_step, eval_results["mkpe"]),
+                            ),
+                            os.path.join(checkpoints_dir, "CKPT-FINAL"),
+                        ],
+                        state,
+                        epoch,
+                    )
+                    writer.add_scalar(
+                        "3D MKPE", eval_results["mkpe"], global_step
+                    )
+                    self._logger.info(
+                        "[FINAL][STEP %d] mkpe %.2f — end-of-training "
+                        "checkpoint saved."
+                        % (global_step, eval_results["mkpe"])
+                    )
+                from . import parallel
+
+                parallel.process_barrier(
+                    "ckpt/%s/%d" % (train_cfg.EXPR_NAME, global_step)
                 )
+        finally:
+            # Deterministic decode-pool ref release (MUST pair with
+            # _acquire_shared_executor; see pipeline.py) even when a
+            # step or eval raises.
+            train_loader.close()
+            val_loader.close()
         if _is_main() and writer is not None:
             writer.close()
         return state
@@ -951,31 +1035,39 @@ class ActiveLearningStrategy:
 
     def run_eval(self, state, val_pool) -> Dict:
         """EXPR_TYPE == EVAL (reference: strategy.py:228-238)."""
-        val_loader = self._prepare_val_dataset_for_eval(val_pool)
-        result = self._evaluate_on_checkpoint(
-            -1, state, self.al_cfg.AL.INFERENCE.RESTORE_FROM, val_loader
-        )
+        with self._prepare_val_dataset_for_eval(val_pool) as val_loader:
+            result = self._evaluate_on_checkpoint(
+                -1, state, self.al_cfg.AL.INFERENCE.RESTORE_FROM, val_loader
+            )
         return {-1: result}
 
     def run_al_eval(self, state, val_pool) -> Dict:
         """EXPR_TYPE == AL_EVAL: evaluate every AL iteration's final
         checkpoint (reference: strategy.py:193-226)."""
-        val_loader = self._prepare_val_dataset_for_eval(val_pool)
         eval_dict = {}
-        if self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME:
-            for iteration in range(self.al_cfg.AL.ITERATIONS):
-                size = (1 + iteration) * self.al_cfg.AL.ITER_AMOUNT
-                path = os.path.join(
-                    self.al_cfg.LOG_DIR,
-                    self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME,
-                    "ITER-%d" % iteration,
-                    "checkpoints",
-                    "CKPT-FINAL",
-                )
-                if ckpt.checkpoint_exists(path):
-                    eval_dict[size] = self._evaluate_on_checkpoint(
-                        iteration, state, path, val_loader
+        with self._prepare_val_dataset_for_eval(val_pool) as val_loader:
+            if self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME:
+                for iteration in range(self.al_cfg.AL.ITERATIONS):
+                    # True labeled-set size after iteration i.  The
+                    # reference reports (1+i)*ITER_AMOUNT (strategy.py:200),
+                    # which ignores INITIAL_AMOUNT — wrong for its own
+                    # defaults (200 initial / 100 per iter); fixed here per
+                    # SURVEY.md "Known reference quirks".
+                    size = (
+                        self.al_cfg.AL.INITIAL_AMOUNT
+                        + iteration * self.al_cfg.AL.ITER_AMOUNT
                     )
+                    path = os.path.join(
+                        self.al_cfg.LOG_DIR,
+                        self.al_cfg.AL.INFERENCE.TRAINING_EXPR_NAME,
+                        "ITER-%d" % iteration,
+                        "checkpoints",
+                        "CKPT-FINAL",
+                    )
+                    if ckpt.checkpoint_exists(path):
+                        eval_dict[size] = self._evaluate_on_checkpoint(
+                            iteration, state, path, val_loader
+                        )
         for size, result in eval_dict.items():
             self._logger.info("size %d -> MKPE %.2f" % (size, result["mkpe"]))
         return eval_dict
@@ -1020,11 +1112,14 @@ class ActiveLearningStrategy:
                         guids, valid = batch["guid"], batch["frame_valid"]
                     yield (guids, valid), losses_dev
 
-            for (guids, valid), losses in self._pipelined_fetch(_dispatched()):
-                losses = np.asarray(losses)
-                for i, guid in enumerate(guids):
-                    if valid[i]:
-                        cluster_dict[guid] = float(losses[i])
+            try:
+                for (guids, valid), losses in self._pipelined_fetch(_dispatched()):
+                    losses = np.asarray(losses)
+                    for i, guid in enumerate(guids):
+                        if valid[i]:
+                            cluster_dict[guid] = float(losses[i])
+            finally:
+                loader.close()
         else:
             raise ValueError("AL.CLUSTER.TYPE must be POSE or LOSS")
         if _is_main():
@@ -1092,7 +1187,11 @@ class ActiveLearningStrategy:
         return path
 
     def prepare_al_experiments(self):
-        """Reference: strategy.py:267-277."""
+        """Reference: strategy.py:267-277.  Writer is process-0-only, like
+        every other writer attachment (run_al_iteration's re-attach and the
+        reference's rank gate at strategy.py:79,127) — other processes read
+        `self.al_writer is None`."""
         os.makedirs(self._expr_dir(), exist_ok=True)
-        self.al_writer = MetricsWriter(self._expr_dir("AL"))
-        self.al_writer.add_text("comment", self.al_cfg.COMMENT, 0)
+        if _is_main():
+            self.al_writer = MetricsWriter(self._expr_dir("AL"))
+            self.al_writer.add_text("comment", self.al_cfg.COMMENT, 0)

@@ -23,6 +23,8 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+from . import get_logger
+
 PCK_THRESHOLDS_MM = (1, 2, 3, 4, 5)
 PCKH_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
 
@@ -47,7 +49,16 @@ def compute_mkpe(pred_3d, gt_3d, valid) -> np.ndarray:
     d = _dists(pred_3d, gt_3d, valid)  # [N, K]
     kpe = np.sum(d, axis=0)  # [K]
     count = np.sum(valid, axis=0)  # [K]
-    return np.float32(np.mean(kpe / count))
+    # A joint with zero valid samples contributes 0/0 in the reference
+    # (silent NaN poisoning the whole eval); exclude such joints from the
+    # joint mean instead — no effect when every joint has support.
+    has_support = count > 0
+    if not has_support.all():
+        get_logger(__name__).warning(
+            "MKPE: %d joint(s) have no valid samples in this eval set; "
+            "excluded from the joint mean." % int((~has_support).sum())
+        )
+    return np.float32(np.mean(kpe[has_support] / count[has_support]))
 
 
 def compute_3d_pck(pred_3d, gt_3d, valid, threshold_mm: float) -> np.ndarray:

@@ -49,19 +49,31 @@ class KMeans:
         self.cluster_centers_ = None
 
     def fit(self, features) -> "KMeans":
-        x = jnp.asarray(np.asarray(features, dtype=np.float32))
+        xs = np.asarray(features, dtype=np.float32)
         rng = np.random.default_rng(self.random_state)
-        # k-means++ seeding on host (runs once over a small pool).
-        xs = np.asarray(x)
+        # k-means++ seeding on host (runs once over a small pool) with a
+        # running min-distance-to-centers vector: O(n*d) per new center,
+        # and no device round-trip before the data is actually needed on
+        # device for Lloyd iterations.
         centers = [xs[rng.integers(len(xs))]]
+        d2 = ((xs - centers[0]) ** 2).sum(-1)
         for _ in range(1, self.n_clusters):
-            d2 = np.min(
-                ((xs[:, None, :] - np.stack(centers)[None]) ** 2).sum(-1), axis=1
-            )
-            probs = d2 / max(d2.sum(), 1e-12)
-            centers.append(xs[rng.choice(len(xs), p=probs)])
+            total = float(d2.sum())
+            if not np.isfinite(total) or total <= 1e-12:
+                # Degenerate pool (every point coincides with a chosen
+                # center — duplicate poses, or fewer distinct poses than
+                # clusters): the D^2 distribution has no mass, so fall
+                # back to uniform choice like sklearn instead of crashing
+                # in rng.choice with all-zero probabilities.
+                idx = int(rng.integers(len(xs)))
+            else:
+                idx = int(rng.choice(len(xs), p=d2 / total))
+            centers.append(xs[idx])
+            d2 = np.minimum(d2, ((xs - xs[idx]) ** 2).sum(-1))
         init = jnp.asarray(np.stack(centers))
-        self.cluster_centers_ = _fit(x, init, self.n_clusters, self.n_iters)
+        self.cluster_centers_ = _fit(
+            jnp.asarray(xs), init, self.n_clusters, self.n_iters
+        )
         return self
 
     def predict(self, features) -> np.ndarray:

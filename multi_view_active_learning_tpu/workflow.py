@@ -164,7 +164,14 @@ def run_experiment(cfg) -> Dict:
                 raise ValueError(
                     "AL.START_ITER != 0 requires AL.PREVIOUS_AL_LOG_DIR"
                 )
-            strategy._copy_previous_checkpoints()
+            # Process-0-only, like every other write to the shared log dir:
+            # concurrent copytree to one destination races/truncates the
+            # orbax files the first iteration then restores.
+            if jax.process_index() == 0:
+                strategy._copy_previous_checkpoints()
+            from .parallel import process_barrier
+
+            process_barrier("copy-prev-ckpts/%s" % cfg.EXPR_NAME)
         for iteration in range(cfg.AL.START_ITER, cfg.AL.ITERATIONS):
             run_al_iteration(cfg, mesh, iteration)
         eval_cfg = cfg.clone()

@@ -37,3 +37,20 @@ def test_deterministic_in_seed():
     p1 = KMeans(4, random_state=7).fit(pts).predict(pts)
     p2 = KMeans(4, random_state=7).fit(pts).predict(pts)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_degenerate_pool_duplicate_points():
+    """All-identical (or fewer-distinct-than-k) pools must seed without
+    crashing: once every point coincides with a chosen center the D^2
+    mass is zero and rng.choice(p=all-zeros) would raise (sklearn, the
+    reference's KMeans, handles this gracefully)."""
+    pts = np.ones((6, 5), np.float32)
+    km = KMeans(4, random_state=0).fit(pts)
+    assert km.predict(pts).shape == (6,)
+
+    # Two distinct points, four clusters.
+    pts2 = np.concatenate([np.zeros((3, 5)), np.ones((3, 5))]).astype(np.float32)
+    pred = KMeans(4, random_state=0).fit(pts2).predict(pts2)
+    assert len(set(pred[:3].tolist())) == 1
+    assert len(set(pred[3:].tolist())) == 1
+    assert set(pred[:3].tolist()) != set(pred[3:].tolist())

@@ -235,3 +235,18 @@ def test_pallas_head_matches_standard_pose_resnet_head():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_decode_keypoints_pallas_with_peak():
+    """with_peak returns the kernel's own peak values (the confidence used
+    by AL.CONFIDENCE_WEIGHTED_DLT without a second decode pass)."""
+    rng = np.random.default_rng(5)
+    hm = rng.normal(size=(2, 3, 4, 16, 16)).astype(np.float32)
+    valid = np.ones((2, 3, 4), bool)
+    coords, peak = pdecode.decode_keypoints_pallas(
+        jnp.asarray(hm), 4.0, jnp.asarray(valid), interpret=True, with_peak=True
+    )
+    ref_coords = heatmap.decode_keypoints(jnp.asarray(hm), 4.0, jnp.asarray(valid))
+    _, ref_peak = heatmap.decode_argmax(jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(coords), np.asarray(ref_coords))
+    np.testing.assert_allclose(np.asarray(peak), np.asarray(ref_peak), rtol=1e-6)

@@ -60,13 +60,19 @@ def _tiny_cfg(tree, log_dir):
 
 
 def test_supervised_training_end_to_end(tree, tmp_path):
+    from multi_view_active_learning_tpu.data import pipeline
+
     cfg = _tiny_cfg(tree, str(tmp_path))
     strategy = ActiveLearningStrategy(cfg)
     train_pool = build_dataset(cfg, "train")
     val_pool = build_dataset(cfg, "val")
+    refs_before = dict(pipeline._EXECUTOR_REFS)
     strategy.run_fully_supervised_training(
         strategy.new_state(), train_pool, val_pool
     )
+    # Every strategy-created loader released its decode-pool ref
+    # (_acquire_shared_executor's MUST-pair contract).
+    assert pipeline._EXECUTOR_REFS == refs_before
     # checkpoints + config dump + metrics written
     ckpt_dir = os.path.join(
         str(tmp_path), "TEST", "FULLY_SUPERVISED", "checkpoints"
@@ -170,8 +176,10 @@ def test_al_eval_over_iterations(tree, tmp_path):
     eval_cfg.EXPR_TYPE = "AL_EVAL"
     eval_cfg.AL.INFERENCE.TRAINING_EXPR_NAME = cfg.EXPR_NAME
     result = workflow.run_experiment_eval(eval_cfg, None)
-    assert list(result.keys()) == [100]  # (1 + 0) * ITER_AMOUNT
-    assert np.isfinite(result[100]["mkpe"])
+    # True labeled size after iteration 0 = INITIAL_AMOUNT (the reference's
+    # (1+i)*ITER_AMOUNT would claim 100 here — quirk fixed).
+    assert list(result.keys()) == [2]
+    assert np.isfinite(result[2]["mkpe"])
 
 
 def test_sal_histograms_written_per_iteration(tree, tmp_path):
@@ -274,6 +282,29 @@ def test_restore_from_resumes_optimizer_and_step(tree, tmp_path):
     ]
     steps = {m["step"] for m in metrics if m["tag"] == "loss/train"}
     assert steps == {4}
+
+
+def test_final_checkpoint_saved_at_non_log_multiple(tree, tmp_path):
+    """TOTAL_STEPS not a LOG_EVERY_ITER multiple: the trailing steps must
+    still land in CKPT-FINAL (the reference saves only at log points and
+    silently drops them, strategy.py:488-510)."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_NAME = "TESTFINAL"
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 5  # LOG_EVERY_ITER is 4
+    strategy = ActiveLearningStrategy(cfg)
+    strategy.run_fully_supervised_training(
+        strategy.new_state(), build_dataset(cfg, "train"), build_dataset(cfg, "val")
+    )
+    ckpt_dir = os.path.join(
+        str(tmp_path), "TESTFINAL", "FULLY_SUPERVISED", "checkpoints"
+    )
+    assert glob.glob(os.path.join(ckpt_dir, "CKPT-E5-MKPE*"))
+    import jax
+
+    restored = ckpt.restore_checkpoint(
+        os.path.join(ckpt_dir, "CKPT-FINAL"), strategy.new_state()
+    )
+    assert int(jax.device_get(restored.step)) == 5
 
 
 def test_train_raises_on_empty_pool(tree, tmp_path):
