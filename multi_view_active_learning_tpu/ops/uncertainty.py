@@ -11,11 +11,19 @@ with fixed-shape tensor programs over [B, V, K, h, w] heatmaps:
   * BSB  — best-vs-second-best: |p0 - p1| of the two highest local peaks of
     the row-softmaxed heatmap (reference: strategy.py:1195-1215).
 
-Peak finding mirrors skimage.feature.peak_local_max(min_distance=2):
-a point is a peak iff it equals the (2d+1)x(2d+1) max-filter output, exceeds
-the image minimum, and is at least `min_distance` away from the border
-(skimage's default exclude_border=True).  Plateaus report every plateau
-point, like the legacy indices=True behavior the reference relies on.
+Peak finding mirrors skimage.feature.peak_local_max(min_distance=2) at
+version 0.19.3 — the last generation supporting the `indices=True` kwarg
+the reference passes (strategy.py:1168-1170), pinned by golden tests
+against the line-faithful port in tests/oracle_ports.py:
+a point is a peak iff it equals the (2d+1)x(2d+1) max-filter output,
+exceeds the image minimum, and is at least `min_distance` away from the
+border (skimage's default exclude_border=True); then skimage's
+`ensure_spacing` pass greedily thins candidates closer than
+`min_distance` in Chebyshev distance, keeping the earlier point in
+descending-intensity stable order.  Because any two candidates within
+each other's max-filter window are provably equal-valued, that order
+reduces to row-major among plateau ties — implemented here as a
+fixed-shape fixpoint iteration (`_thin_plateaus`).
 
 Softmax quirk replicated: the reference calls torch.nn.functional.softmax
 on a 2D heatmap without `dim`, which resolves to dim=1 — softmax over each
@@ -37,10 +45,69 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """x[..., i, j] -> x[..., i + dy, j + dx], `fill` outside bounds."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (max(-dy, 0), max(dy, 0)),
+        (max(-dx, 0), max(dx, 0)),
+    ]
+    padded = jnp.pad(x, pad, constant_values=fill)
+    start = [0] * (x.ndim - 2) + [max(dy, 0), max(dx, 0)]
+    return jax.lax.dynamic_slice(padded, start, x.shape[:-2] + (h, w))
+
+
+def _thin_plateaus(cand: jnp.ndarray, min_distance: int) -> jnp.ndarray:
+    """skimage 0.19.3 `ensure_spacing` over a candidate-peak mask.
+
+    skimage accepts candidates in descending-intensity (stable) order and
+    rejects any later candidate with Chebyshev distance < min_distance
+    from an accepted one.  Two candidates that close lie inside each
+    other's (2*min_distance+1)^2 max-filter window, so they are
+    equal-valued; ordering among them is therefore row-major (np.nonzero
+    order under a stable sort).  Greedy semantics: a candidate is
+    ACCEPTED once every row-major-earlier candidate in its rejection
+    neighborhood is REJECTED, and REJECTED once any of them is ACCEPTED —
+    a rejected point never rejects others.  Iterate to fixpoint (each
+    pass decides at least the earliest undecided point of every
+    dependency chain, so the loop terminates).
+    """
+    earlier = [
+        (dy, dx)
+        for dy in range(-(min_distance - 1), min_distance)
+        for dx in range(-(min_distance - 1), min_distance)
+        if (dy, dx) != (0, 0) and (dy < 0 or (dy == 0 and dx < 0))
+    ]
+    if not earlier:
+        return cand
+
+    def body(state):
+        acc, rej, _ = state
+        unrejected_earlier = jnp.zeros_like(cand)
+        accepted_earlier = jnp.zeros_like(cand)
+        for dy, dx in earlier:
+            unrejected_earlier |= _shift2d(cand & ~rej, dy, dx, False)
+            accepted_earlier |= _shift2d(acc, dy, dx, False)
+        new_acc = acc | (cand & ~rej & ~unrejected_earlier)
+        new_rej = rej | (cand & accepted_earlier)
+        changed = jnp.any(new_acc != acc) | jnp.any(new_rej != rej)
+        return new_acc, new_rej, changed
+
+    def cond(state):
+        return state[2]
+
+    init = (jnp.zeros_like(cand), jnp.zeros_like(cand), jnp.asarray(True))
+    acc, _, _ = jax.lax.while_loop(cond, body, init)
+    return acc
+
+
 def local_peak_mask(heatmaps: jnp.ndarray, min_distance: int = 2) -> jnp.ndarray:
     """Boolean mask of local maxima over the trailing (h, w) axes.
 
-    heatmaps: [..., h, w] -> bool [..., h, w].
+    heatmaps: [..., h, w] -> bool [..., h, w].  Matches
+    skimage.feature.peak_local_max(min_distance=...) at 0.19.3 exactly,
+    including plateau thinning (golden-tested against
+    tests/oracle_ports.peak_local_max).
     """
     size = 2 * min_distance + 1
     ndim = heatmaps.ndim
@@ -63,7 +130,7 @@ def local_peak_mask(heatmaps: jnp.ndarray, min_distance: int = 2) -> jnp.ndarray
         ((ys >= min_distance) & (ys < h - min_distance))[:, None]
         & ((xs >= min_distance) & (xs < w - min_distance))[None, :]
     )
-    return is_peak & interior
+    return _thin_plateaus(is_peak & interior, min_distance)
 
 
 def _row_softmax(heatmaps: jnp.ndarray) -> jnp.ndarray:

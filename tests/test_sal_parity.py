@@ -1,18 +1,31 @@
-"""END-TO-END sal_dict parity vs the REFERENCE's flagship scoring loop.
+"""END-TO-END sal_dict parity vs the REFERENCE's flagship scoring loop,
+for EVERY metric strategy and decode mode.
 
 tools/make_sal_parity_goldens.py ran the reference's `_compute_sal_dict`
-(/root/reference/strategy.py:1004-1147: CMUPanopticDataset -> DataLoader ->
-torch PoseResNet-50 / HRNet-W32 -> per-sample RANSAC-DLT triangulation ->
-TRIANGULATION AL metric, gloo world-1) on a deterministic synthetic
-Panoptic tree with golden weights and stored the resulting sal_dicts.
+(/root/reference/strategy.py:1004-1215: CMUPanopticDataset -> DataLoader ->
+torch PoseResNet-50 / HRNet-W32 -> per-sample scoring, gloo world-1) on a
+deterministic synthetic Panoptic tree with golden weights and stored the
+resulting sal_dicts for nine variants:
+
+  TRIANGULATION, TRI_SOFTARGMAX (AL.USE_SOFTARGMAX — kornia
+  spatial_soft_argmax2d decode), TRI_XE (AL.USE_REPROJECTION_XE — Gaussian
+  re-render MSE), and MPE/HP/BSB x AVG/STD (strategy.py:1149-1215, which
+  run skimage peak_local_max + the torch row-softmax quirk).
+
+skimage/kornia are not installable here; the goldens ran the reference
+against the line-faithful oracle ports in tests/oracle_ports.py (pinned
+to skimage 0.19.3 / kornia 0.6 semantics), so the reference's own scoring
+branches executed end to end.
+
 Here the SAME tree is regenerated, the SAME weights are pushed through
 models/convert.py into the Flax models, and this repo's
 `_compute_sal_dict` (one jitted score_step per fixed-shape batch,
-strategy.py) must agree guid by guid — proving the whole flagship loop end
-to end: JSON indexing, guid format, host image pipeline (PIL decode, BGR
-flip, square+scale bbox crop, LANCZOS resize), model forward, heatmap
-argmax decode, all-pairs RANSAC inlier selection, DLT, the
-reprojection-error AL metric, and the per-frame MKPE.
+strategy.py) must agree guid by guid per variant — proving the whole
+flagship loop end to end: JSON indexing, guid format, host image pipeline
+(PIL decode, BGR flip, square+scale bbox crop, LANCZOS resize), model
+forward, heatmap decode (hard argmax AND soft-argmax), all-pairs RANSAC
+inlier selection, DLT, every AL metric (reprojection error, XE, MPE, HP,
+BSB — AVG and STD), and the per-frame MKPE.
 
 The component-level goldens (tests/test_parity_goldens.py) pin each stage;
 this test pins their COMPOSITION through the product entry point.
@@ -36,6 +49,12 @@ GOLDENS = os.path.join(
     os.path.dirname(__file__), "fixtures", "sal_dict_goldens.json"
 )
 
+# Keep the cheap single-executable variants in every heavy run; the full
+# nine-variant sweep recompiles score_step per variant (the forward is
+# fused in), so the rest run under the same heavy marker but can be
+# selected individually via -k.
+MODELS = [("pose_resnet50", "POSE_RESNET"), ("hrnet_w32", "HRNET")]
+
 
 @pytest.fixture(scope="module")
 def golden():
@@ -43,7 +62,11 @@ def golden():
         pytest.skip("sal_dict goldens not generated "
                     "(tools/make_sal_parity_goldens.py)")
     with open(GOLDENS) as f:
-        return json.load(f)
+        g = json.load(f)
+    if "sal_dicts" not in next(iter(g["models"].values())):
+        pytest.skip("sal_dict goldens predate the variant sweep; regenerate "
+                    "with tools/make_sal_parity_goldens.py")
+    return g
 
 
 def _first_jpeg_checksum(tree: str) -> str:
@@ -77,7 +100,46 @@ def sal_tree(golden, tmp_path_factory):
     return tree
 
 
-def _run_parity(golden, tree, tag, model_type, tmp_path_factory):
+# Converted golden weights, cached per model family for the whole module
+# (the conversion itself is cheap; new_state() compiles nothing).
+_STATE_CACHE = {}
+
+
+def _golden_state(golden, strategy, tag, model_type):
+    meta = golden["meta"]
+    if tag not in _STATE_CACHE:
+        w = golden["models"][tag]["weights"]
+        values = golden_fill_values(
+            w["names"], [tuple(s) for s in w["shapes"]],
+            int(meta["weight_seed"]),
+        )
+        # Same final-layer scale the generator applied (it keeps
+        # golden-filled HRNet heatmaps out of the exp-overflow regime the
+        # reference's MPE cannot survive).
+        head_scale = float(w.get("head_scale", 1.0))
+        if head_scale != 1.0:
+            for name in values:
+                if name.startswith("final_layer."):
+                    values[name] = values[name] * np.float32(head_scale)
+        _STATE_CACHE[tag] = convert.torch_state_dict_to_flax(
+            values, model_type
+        )
+    params, batch_stats = _STATE_CACHE[tag]
+    state = strategy.new_state()
+    ref_params = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(state.params)
+    )
+    ref_stats = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(state.batch_stats)
+    )
+    n_params = convert._merge_into(ref_params, params)
+    n_stats = convert._merge_into(ref_stats, batch_stats)
+    assert n_params == len(jax.tree_util.tree_leaves(ref_params))
+    assert n_stats == len(jax.tree_util.tree_leaves(ref_stats))
+    return state.replace(params=ref_params, batch_stats=ref_stats)
+
+
+def _run_parity(golden, tree, tag, model_type, variant, tmp_path_factory):
     from multi_view_active_learning_tpu.data import build_dataset
     from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 
@@ -101,6 +163,8 @@ def _run_parity(golden, tree, tag, model_type, tmp_path_factory):
     # bit-faithful solver, as TPUConfig.DLT_METHOD documents.
     cfg.TPU.DLT_METHOD = "svd"
     cfg.AL.STRATEGY = "TRIANGULATION"
+    for key, value in meta["variants"][variant].items():
+        setattr(cfg.AL, key, value)
     cfg.AL.INFERENCE.BATCH_SIZE = 2
     cfg.AL.INFERENCE.NUM_WORKERS = 0
     cfg.LOG_DIR = str(tmp_path_factory.mktemp("sal_logs"))
@@ -108,27 +172,9 @@ def _run_parity(golden, tree, tag, model_type, tmp_path_factory):
     pool = build_dataset(cfg, "train")
     pool.resample_unlabeled_data()
 
-    entry = golden["models"][tag]
-    w = entry["weights"]
-    values = golden_fill_values(
-        w["names"], [tuple(s) for s in w["shapes"]], int(meta["weight_seed"])
-    )
-    params, batch_stats = convert.torch_state_dict_to_flax(values, model_type)
-    state = strategy.new_state()
-    ref_params = jax.tree_util.tree_map(
-        np.asarray, jax.device_get(state.params)
-    )
-    ref_stats = jax.tree_util.tree_map(
-        np.asarray, jax.device_get(state.batch_stats)
-    )
-    n_params = convert._merge_into(ref_params, params)
-    n_stats = convert._merge_into(ref_stats, batch_stats)
-    assert n_params == len(jax.tree_util.tree_leaves(ref_params))
-    assert n_stats == len(jax.tree_util.tree_leaves(ref_stats))
-    state = state.replace(params=ref_params, batch_stats=ref_stats)
-
+    state = _golden_state(golden, strategy, tag, model_type)
     sal = strategy._compute_sal_dict(pool, state)
-    gold = entry["sal_dict"]
+    gold = golden["models"][tag]["sal_dicts"][variant]
 
     # Identical guid inventory (pose/frame-id formatting, JSON indexing).
     assert set(sal["al_metric"]) == set(gold["al_metric"])
@@ -137,31 +183,42 @@ def _run_parity(golden, tree, tag, model_type, tmp_path_factory):
         # exact for the float pipelines to be comparable at all).
         assert sal["inlier_count"][guid] == pytest.approx(
             gold["inlier_count"][guid]
-        ), guid
-        # AL metric (mean reprojection error) and MKPE to float tolerance.
+        ), (variant, guid)
+        # AL metric and the shared diagnostics to float tolerance.
         assert sal["al_metric"][guid] == pytest.approx(
             gold["al_metric"][guid], rel=1e-3, abs=1e-3
-        ), guid
+        ), (variant, guid)
+        assert sal["sal_metric"][guid] == pytest.approx(
+            gold["sal_metric"][guid], rel=1e-3, abs=1e-3
+        ), (variant, guid)
         assert sal["mkpe"][guid] == pytest.approx(
             gold["mkpe"][guid], rel=1e-3, abs=1e-3
-        ), guid
+        ), (variant, guid)
         np.testing.assert_allclose(
             np.asarray(sal["pred_3d_keypoints"][guid]),
             np.asarray(gold["pred_3d_keypoints"][guid]),
             rtol=1e-2,
             atol=5e-2,
-            err_msg=guid,
+            err_msg="%s %s" % (variant, guid),
         )
 
 
-def test_sal_dict_matches_reference_pose_resnet50(
-    golden, sal_tree, tmp_path_factory
-):
-    _run_parity(golden, sal_tree, "pose_resnet50", "POSE_RESNET",
-                tmp_path_factory)
+def _variant_params(golden_path=GOLDENS):
+    # Static parametrization: read the variant list from the fixture when
+    # present so new golden variants appear as test cases automatically.
+    try:
+        with open(golden_path) as f:
+            meta = json.load(f)["meta"]
+        return sorted(meta["variants"])
+    except (OSError, KeyError, ValueError):
+        return ["TRIANGULATION"]
 
 
-def test_sal_dict_matches_reference_hrnet_w32(
-    golden, sal_tree, tmp_path_factory
+@pytest.mark.parametrize("variant", _variant_params())
+@pytest.mark.parametrize("tag,model_type", MODELS)
+def test_sal_dict_matches_reference(
+    golden, sal_tree, tag, model_type, variant, tmp_path_factory
 ):
-    _run_parity(golden, sal_tree, "hrnet_w32", "HRNET", tmp_path_factory)
+    if variant not in golden["models"][tag]["sal_dicts"]:
+        pytest.skip("variant %s missing from goldens; regenerate" % variant)
+    _run_parity(golden, sal_tree, tag, model_type, variant, tmp_path_factory)

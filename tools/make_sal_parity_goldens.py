@@ -1,20 +1,37 @@
 """END-TO-END sal_dict parity goldens: run the REFERENCE's flagship
-scoring loop (/root/reference/strategy.py:1004-1147 `_compute_sal_dict` —
-CMUPanopticDataset -> DataLoader -> torch PoseResNet-50 -> per-sample
-RANSAC-DLT triangulation -> TRIANGULATION AL metric -> all_gather) on the
-synthetic Panoptic tree with deterministic golden weights, and store the
-resulting sal_dict.
+scoring loop (/root/reference/strategy.py:1004-1215 `_compute_sal_dict` —
+CMUPanopticDataset -> DataLoader -> torch PoseResNet-50 / HRNet-W32 ->
+per-sample scoring -> all_gather) on the synthetic Panoptic tree with
+deterministic golden weights, for EVERY metric strategy and decode mode
+the reference ships:
+
+  * TRIANGULATION (hard argmax + RANSAC-DLT reprojection error),
+  * TRIANGULATION with AL.USE_SOFTARGMAX (kornia spatial_soft_argmax2d),
+  * TRIANGULATION with AL.USE_REPROJECTION_XE (Gaussian re-render MSE),
+  * MPE / HP / BSB, each with AVG and STD aggregation
+    (reference strategy.py:1149-1215).
+
+skimage and kornia are not installable here (zero-egress image); the
+reference runs against the line-faithful oracle ports in
+tests/oracle_ports.py (skimage 0.19.3 `peak_local_max` — the last
+generation with the `indices=True` kwarg the reference passes — and
+kornia 0.6 `spatial_soft_argmax2d`), injected as modules so the
+reference's own scoring code paths execute end to end.
 
 tests/test_sal_parity.py then runs THIS repo's `_compute_sal_dict`
 (one jitted score_step per batch) on the same tree with the same weights
-(converted via models/convert.py) and compares guid by guid — proving the
-whole flagship loop end to end: JSON indexing, guid format, image pipeline,
-model forward, heatmap decode, RANSAC inlier selection, DLT, the metric,
-and the per-frame MKPE.
+(converted via models/convert.py) and compares guid by guid per variant —
+proving the whole flagship loop end to end: JSON indexing, guid format,
+image pipeline, model forward, heatmap decode, RANSAC inlier selection,
+DLT, every AL metric, and the per-frame MKPE.
 
 Requires torch + the reference checkout (this environment has both); the
 test needs neither.  Single process, gloo world-1 process group (the
 reference's all_gather degenerates to identity), .cuda() stubbed to CPU.
+
+Model inference is cached per (model, batch): the reference recomputes
+heatmaps per variant, but its forward is deterministic in eval mode, so
+one forward per batch serves all nine variants.
 """
 
 import copy
@@ -57,11 +74,15 @@ colorlog_stub.ColoredFormatter = _Formatter
 colorlog_stub.basicConfig = lambda *a, **k: None
 sys.modules.setdefault("colorlog", colorlog_stub)
 
+from oracle_ports import peak_local_max as oracle_peak_local_max  # noqa: E402
+from oracle_ports import (  # noqa: E402
+    spatial_soft_argmax2d as oracle_spatial_soft_argmax2d,
+)
+
 kornia_stub = types.ModuleType("kornia")
+kornia_stub.spatial_soft_argmax2d = oracle_spatial_soft_argmax2d
 kornia_stub.geometry = types.SimpleNamespace(
-    spatial_soft_argmax2d=lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("kornia stub called")
-    )
+    spatial_soft_argmax2d=oracle_spatial_soft_argmax2d
 )
 sys.modules.setdefault("kornia", kornia_stub)
 
@@ -103,13 +124,11 @@ sys.modules.setdefault("iopath", iopath_stub)
 sys.modules.setdefault("iopath.common", iopath_common)
 sys.modules.setdefault("iopath.common.file_io", iopath_file_io)
 
-# skimage: strategy.py imports peak_local_max at module level; the
-# TRIANGULATION strategy never calls it.
+# skimage: strategy.py does `from skimage.feature import peak_local_max`
+# at module level; MPE and BSB call it per (view, joint).
 skimage_stub = types.ModuleType("skimage")
 skimage_feature = types.ModuleType("skimage.feature")
-skimage_feature.peak_local_max = lambda *a, **k: (_ for _ in ()).throw(
-    RuntimeError("peak_local_max stub called")
-)
+skimage_feature.peak_local_max = oracle_peak_local_max
 skimage_stub.feature = skimage_feature
 sys.modules.setdefault("skimage", skimage_stub)
 sys.modules.setdefault("skimage.feature", skimage_feature)
@@ -186,6 +205,23 @@ def main():
     cfg.DATA.PANOPTIC.TRAIN_VAL_SPLIT = os.path.join(TREE, "split.json")
     cfg.AL.STRATEGY = "TRIANGULATION"
 
+    # Every scoring variant the reference dispatches on
+    # (strategy.py:1072-1095 for the STRATEGY branch,
+    # utils/triangulation.py:192-199 for USE_SOFTARGMAX,
+    # utils/triangulation.py:224-227 + 236-257 for USE_REPROJECTION_XE).
+    # Overrides apply to cfg.AL.
+    variants = {
+        "TRIANGULATION": {},
+        "TRI_SOFTARGMAX": {"USE_SOFTARGMAX": True},
+        "TRI_XE": {"USE_REPROJECTION_XE": True, "REPROJECTION_SIGMA": 2.0},
+        "MPE_AVG": {"STRATEGY": "MPE", "MPE_CONFIG": "AVG"},
+        "MPE_STD": {"STRATEGY": "MPE", "MPE_CONFIG": "STD"},
+        "HP_AVG": {"STRATEGY": "HP", "HP_CONFIG": "AVG"},
+        "HP_STD": {"STRATEGY": "HP", "HP_CONFIG": "STD"},
+        "BSB_AVG": {"STRATEGY": "BSB", "BSB_CONFIG": "AVG"},
+        "BSB_STD": {"STRATEGY": "BSB", "BSB_CONFIG": "STD"},
+    }
+
     dataset = CMUPanopticDataset(
         cfg.DATA, cfg.POSE_ESTIMATOR.STRIDE, split="train"
     )
@@ -195,7 +231,23 @@ def main():
 
     from pose_estimators.hrnet import PoseHighResolutionNet  # noqa: E402
 
-    strategy = RefStrategy(cfg)
+    # Cache the deterministic eval-mode forward per (model, batch): one
+    # inference serves all nine variants.
+    _orig_heatmap = RefStrategy._compute_batch_heatmap  # staticmethod
+    _hm_cache = {}
+
+    def _cached_heatmap(pose_estimator, dp):
+        key = (
+            id(pose_estimator),
+            tuple(int(p) for p in dp["pose"]),
+            tuple(int(f) for f in dp["frame_id"]),
+        )
+        if key not in _hm_cache:
+            _hm_cache[key] = _orig_heatmap(pose_estimator, dp)
+        return _hm_cache[key]
+
+    RefStrategy._compute_batch_heatmap = staticmethod(_cached_heatmap)
+
     golden = {
         "meta": {
             "num_joints": NUM_JOINTS,
@@ -203,10 +255,19 @@ def main():
             "num_frames": NUM_FRAMES,
             "weight_seed": WEIGHT_SEED,
             "tree_checksum": tree_checksum(TREE),
-            "reference": "/root/reference/strategy.py:1004-1147",
+            "reference": "/root/reference/strategy.py:1004-1215",
+            "variants": {k: dict(v) for k, v in variants.items()},
         },
         "models": {},
     }
+    # Golden-filled HRNet emits heatmaps spanning ±14000 (measured) —
+    # np.exp overflows and the reference's own MPE crashes on
+    # math.log(0) (strategy.py:1173-1174).  Scale its final layer by an
+    # exact power of two so heatmaps land in the ±10 regime real
+    # checkpoints produce; the test applies the same scale before
+    # conversion, so both pipelines see identical weights.
+    head_scales = {"pose_resnet50": 1.0, "hrnet_w32": 2.0**-11}
+
     for tag, model in (
         ("pose_resnet50", PoseResNet(num_joints=NUM_JOINTS, num_layers=50)),
         ("hrnet_w32", PoseHighResolutionNet(num_joints=NUM_JOINTS)),
@@ -218,6 +279,11 @@ def main():
             names.append(name)
             shapes.append(tuple(tensor.shape))
         values = golden_fill_values(names, shapes, WEIGHT_SEED)
+        head_scale = head_scales[tag]
+        if head_scale != 1.0:
+            for name in values:
+                if name.startswith("final_layer."):
+                    values[name] = values[name] * np.float32(head_scale)
         missing, unexpected = model.load_state_dict(
             {k: torch.from_numpy(v) for k, v in values.items()}, strict=False
         )
@@ -225,25 +291,49 @@ def main():
         assert all(m.endswith("num_batches_tracked") for m in missing)
         model.eval()
 
-        sal_dict = strategy._compute_sal_dict(loader, model)
-        assert len(sal_dict["al_metric"]) == NUM_FRAMES
+        sal_dicts = {}
+        for vname, overrides in variants.items():
+            vcfg = cfg.clone()
+            for k, v in overrides.items():
+                setattr(vcfg.AL, k, v)
+            strategy = RefStrategy(vcfg)
+            sal_dict = strategy._compute_sal_dict(loader, model)
+            assert len(sal_dict["al_metric"]) == NUM_FRAMES
+            sal_dicts[vname] = {
+                key: {
+                    g: (
+                        float(val[g])
+                        if key != "pred_3d_keypoints"
+                        else val[g]
+                    )
+                    for g in val
+                }
+                for key, val in sal_dict.items()
+            }
+            for guid in sal_dict["al_metric"]:
+                print(
+                    "%s %s %s: al %.6f sal %.6f inliers %d mkpe %.4f"
+                    % (
+                        tag,
+                        vname,
+                        guid,
+                        sal_dict["al_metric"][guid],
+                        sal_dict["sal_metric"][guid],
+                        int(sal_dict["inlier_count"][guid]),
+                        sal_dict["mkpe"][guid],
+                    )
+                )
         golden["models"][tag] = {
             # torch state_dict names/shapes: the test regenerates the same
-            # weights via helpers.golden_fill_values without torch.
-            "weights": {"names": names, "shapes": shapes},
-            "sal_dict": {key: dict(val) for key, val in sal_dict.items()},
+            # weights via helpers.golden_fill_values without torch, then
+            # scales final_layer.* by head_scale (see above).
+            "weights": {
+                "names": names,
+                "shapes": shapes,
+                "head_scale": head_scale,
+            },
+            "sal_dicts": sal_dicts,
         }
-        for guid in sal_dict["al_metric"]:
-            print(
-                "%s %s: metric %.6f inliers %d mkpe %.4f"
-                % (
-                    tag,
-                    guid,
-                    sal_dict["al_metric"][guid],
-                    int(sal_dict["inlier_count"][guid]),
-                    sal_dict["mkpe"][guid],
-                )
-            )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(golden, f)
