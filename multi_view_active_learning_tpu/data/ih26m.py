@@ -17,13 +17,13 @@ greedy max-min spread.
 from __future__ import annotations
 
 import json
-import os
 from collections import OrderedDict
 from typing import Dict, List, Sequence
 
 import numpy as np
 
 from ..utils import get_logger
+from ..utils import storage
 from .pools import FramePool
 
 
@@ -88,12 +88,18 @@ class InterHand26MDataset(FramePool):
         self.gt_stride = gt_stride
         self._logger = get_logger(__name__)
         home = root or data_cfg.IH26M.HOME
-        ann = os.path.join(home, "annotations", split)
-        with open(os.path.join(ann, "InterHand2.6M_%s_camera.json" % split)) as f:
+        ann = storage.join(home, "annotations", split)
+        with storage.open_file(
+            storage.join(ann, "InterHand2.6M_%s_camera.json" % split)
+        ) as f:
             self.all_cam = json.load(f)
-        with open(os.path.join(ann, "InterHand2.6M_%s_data.json" % split)) as f:
+        with storage.open_file(
+            storage.join(ann, "InterHand2.6M_%s_data.json" % split)
+        ) as f:
             data = json.load(f)
-        with open(os.path.join(ann, "InterHand2.6M_%s_joint_3d.json" % split)) as f:
+        with storage.open_file(
+            storage.join(ann, "InterHand2.6M_%s_joint_3d.json" % split)
+        ) as f:
             joints = json.load(f)
 
         cap_range = (
@@ -123,7 +129,7 @@ class InterHand26MDataset(FramePool):
             left, top, width, height = annotation["bbox"]
             view = {
                 "camera": self._get_camera(capture, meta["camera"]),
-                "path": os.path.join(home, "images", split, meta["file_name"]),
+                "path": storage.join(home, "images", split, meta["file_name"]),
                 "box": (left, top, left + width, top + height),
                 "camera_name": meta["camera"],
                 "per_view_joint_valid": np.asarray(

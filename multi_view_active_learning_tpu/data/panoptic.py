@@ -7,20 +7,21 @@ schema from dataset/panoptic_utils/aggregate_labels.py:19-52), GT boxes,
 and the train/val split with per-split camera lists.  Frame guids are
 ``f"{pose[:6]}{pose[-1]}-{frame_id}"`` (panoptic_dataset.py:67).
 
-Differences from the reference: plain local paths instead of manifold URIs;
-3D keypoints are normalized to [K, 3] float64 at load (the reference keeps
-the raw [4, K] rows and re-transposes at every use).
+Differences from the reference: utils/storage paths (local fast path,
+fsspec for gs://-style URIs) instead of manifold URIs; 3D keypoints are
+normalized to [K, 3] float64 at load (the reference keeps the raw [4, K]
+rows and re-transposes at every use).
 """
 
 from __future__ import annotations
 
 import json
-import os
 from collections import OrderedDict
 
 import numpy as np
 
 from ..utils import get_logger
+from ..utils import storage
 from .pools import FramePool
 
 
@@ -35,21 +36,25 @@ class CMUPanopticDataset(FramePool):
 
         home = root or data_cfg.PANOPTIC.HOME
         label_path = (
-            os.path.join(root, "labels.json") if root else data_cfg.PANOPTIC.LABEL_PATH
+            storage.join(root, "labels.json")
+            if root
+            else data_cfg.PANOPTIC.LABEL_PATH
         )
         boxes_path = (
-            os.path.join(root, "boxes.json") if root else data_cfg.PANOPTIC.GT_BOXES
+            storage.join(root, "boxes.json")
+            if root
+            else data_cfg.PANOPTIC.GT_BOXES
         )
         split_path = (
-            os.path.join(root, "split.json")
+            storage.join(root, "split.json")
             if root
             else data_cfg.PANOPTIC.TRAIN_VAL_SPLIT
         )
-        with open(label_path) as f:
+        with storage.open_file(label_path) as f:
             labels = json.load(f)
-        with open(boxes_path) as f:
+        with storage.open_file(boxes_path) as f:
             boxes = json.load(f)
-        with open(split_path) as f:
+        with storage.open_file(split_path) as f:
             self.train_val_split = json.load(f)
         self.list_of_cameras = list(self.train_val_split["cameras"][self.split])
 
@@ -80,7 +85,7 @@ class CMUPanopticDataset(FramePool):
                     for camera_name in self.list_of_cameras:
                         views[camera_name] = {
                             "camera": cameras[camera_name],
-                            "path": os.path.join(
+                            "path": storage.join(
                                 home,
                                 pose,
                                 "hdImgs",

@@ -19,6 +19,7 @@ Batches are fixed-shape: the final partial batch is padded and flagged via
 
 from __future__ import annotations
 
+import io
 import multiprocessing
 import threading
 from collections import OrderedDict, deque
@@ -33,6 +34,7 @@ import numpy as np
 from PIL import Image
 
 from ..ops import geometry, heatmap
+from ..utils import storage
 from . import augmentation as aug
 
 
@@ -311,8 +313,9 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             cache_size = _effective_cache_size(data_cfg)
             image = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
             if image is None:
-                with open(view["path"], "rb") as f:
-                    image = np.asarray(Image.open(f))
+                image = np.asarray(
+                    Image.open(io.BytesIO(storage.read_bytes(view["path"])))
+                )
                 image = np.ascontiguousarray(image[..., ::-1])  # BGR flip
                 if cache_size > 0:
                     VIEW_CACHE.put(cache_key, image, cache_size)
@@ -325,8 +328,7 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
             cached = VIEW_CACHE.get(cache_key) if cache_size > 0 else None
             image = cached
             if image is None and use_native:
-                with open(view["path"], "rb") as f:
-                    raw = f.read()
+                raw = storage.read_bytes(view["path"])
                 # Native path fuses decode + crop + Lanczos + BGR flip.  The
                 # bbox is given in original (RGB) image coordinates; the
                 # reference's BGR flip (dataset.py:162) is channel-only, so
@@ -336,8 +338,9 @@ def prepare_views_host(frame: dict, data_cfg, gt_stride: int) -> Dict[str, np.nd
                     bgr_flip=True, fast_scale=fast_scale,
                 )
             if image is None:  # PIL fallback (reference-exact path)
-                with open(view["path"], "rb") as f:
-                    image = np.asarray(Image.open(f))
+                image = np.asarray(
+                    Image.open(io.BytesIO(storage.read_bytes(view["path"])))
+                )
                 image = image[..., ::-1]  # BGR flip (reference: dataset.py:162)
                 # crop_image zero-fills to the exact bbox extent, so the
                 # crop shape equals the bbox dims used below.

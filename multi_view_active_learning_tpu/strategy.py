@@ -36,6 +36,7 @@ from .data.pipeline import device_prepare
 from .engine import Engine, TrainState
 from .ops import coreset as coreset_ops
 from .utils import checkpoint as ckpt
+from .utils import storage
 from .utils import evaluation, get_logger, profiling
 from .utils.kmeans import KMeans
 from .utils.metrics_writer import MetricsWriter
@@ -58,7 +59,7 @@ class ActiveLearningStrategy:
         self._warned_shardings: set = set()
         self.kmeans: Optional[KMeans] = None
         if al_cfg.EXPR_TYPE == "SAL" and al_cfg.SAL.CLUSTER_FILE_PATH:
-            with open(al_cfg.SAL.CLUSTER_FILE_PATH) as f:
+            with storage.open_file(al_cfg.SAL.CLUSTER_FILE_PATH) as f:
                 clusters = json.load(f)
             kp_values = []
             for guid in clusters:
@@ -84,7 +85,7 @@ class ActiveLearningStrategy:
     # ------------------------------------------------------------------ utils
 
     def _expr_dir(self, *sub) -> str:
-        return os.path.join(self.al_cfg.LOG_DIR, self.al_cfg.EXPR_NAME, *sub)
+        return storage.join(self.al_cfg.LOG_DIR, self.al_cfg.EXPR_NAME, *sub)
 
     def _rng(self, salt: int = 0) -> np.random.Generator:
         return np.random.default_rng((int(self.al_cfg.RANDOM_SEED) + salt) & 0x7FFFFFFF)
@@ -368,15 +369,19 @@ class ActiveLearningStrategy:
                     except Exception as ex:  # mirror reference's tolerance
                         self._logger.warning("Metrics writer error: %s" % ex)
                 if sal_guids:
-                    with open(
+                    with storage.open_file(
                         self._expr_dir("SAL-GUID-ITER-%d" % iteration), "w"
                     ) as f:
                         f.write(json.dumps(sal_guids))
-                with open(self._expr_dir("SAL-DICT-ITER-%d" % iteration), "w") as f:
+                with storage.open_file(
+                    self._expr_dir("SAL-DICT-ITER-%d" % iteration), "w"
+                ) as f:
                     f.write(json.dumps(sal_dict))
         if _is_main():
-            os.makedirs(self._expr_dir(), exist_ok=True)
-            with open(self._expr_dir("SAMPLED-GUID-ITER-%d" % iteration), "w") as f:
+            storage.makedirs(self._expr_dir())
+            with storage.open_file(
+                self._expr_dir("SAMPLED-GUID-ITER-%d" % iteration), "w"
+            ) as f:
                 f.write(json.dumps(al_guids))
         return train_pool
 
@@ -646,13 +651,15 @@ class ActiveLearningStrategy:
 
     def _prepare_experiment(self, cfg) -> Tuple[str, MetricsWriter]:
         """Reference: strategy.py:651-679."""
-        experiment_dir = os.path.join(cfg.LOG_DIR, cfg.EXPR_NAME)
-        os.makedirs(experiment_dir, exist_ok=True)
-        checkpoints_dir = os.path.join(experiment_dir, "checkpoints")
-        os.makedirs(checkpoints_dir, exist_ok=True)
-        with open(os.path.join(experiment_dir, "config.yaml"), "w") as f:
+        experiment_dir = storage.join(cfg.LOG_DIR, cfg.EXPR_NAME)
+        storage.makedirs(experiment_dir)
+        checkpoints_dir = storage.join(experiment_dir, "checkpoints")
+        storage.makedirs(checkpoints_dir)
+        with storage.open_file(
+            storage.join(experiment_dir, "config.yaml"), "w"
+        ) as f:
             f.write(cfg.dump())
-        writer = MetricsWriter(os.path.join(experiment_dir, "summary"))
+        writer = MetricsWriter(storage.join(experiment_dir, "summary"))
         return checkpoints_dir, writer
 
     def _load_weights(self, cfg, state: TrainState) -> TrainState:
@@ -1123,7 +1130,7 @@ class ActiveLearningStrategy:
         else:
             raise ValueError("AL.CLUSTER.TYPE must be POSE or LOSS")
         if _is_main():
-            with open(cfg.AL.CLUSTER.SAVE_PATH, "w") as f:
+            with storage.open_file(cfg.AL.CLUSTER.SAVE_PATH, "w") as f:
                 json.dump(cluster_dict, f)
         return cluster_dict
 
@@ -1133,13 +1140,13 @@ class ActiveLearningStrategy:
         """Replay guid logs into the labeled pool
         (reference: strategy.py:315-336)."""
         for i in range(iteration):
-            with open(self._expr_dir("SAMPLED-GUID-ITER-%d" % i)) as f:
+            with storage.open_file(self._expr_dir("SAMPLED-GUID-ITER-%d" % i)) as f:
                 guids = json.loads(f.readline())
             train_pool.label_by_frame_guids(guids)
         if self.al_cfg.EXPR_TYPE == "SAL" and iteration > 1:
             path = self._expr_dir("SAL-GUID-ITER-%d" % (iteration - 1))
-            if os.path.isfile(path):
-                with open(path) as f:
+            if storage.exists(path):
+                with storage.open_file(path) as f:
                     train_pool.pseudo_label_guids = json.loads(f.readline())
         self._logger.info(
             "Restored dataset up to iteration %d; labeled size %d."
@@ -1150,28 +1157,23 @@ class ActiveLearningStrategy:
     def _copy_previous_checkpoints(self):
         """Copy checkpoints + guid logs from a previous experiment
         (reference: strategy.py:338-389)."""
-        import shutil
-
         for i in range(self.al_cfg.AL.START_ITER):
-            src_ckpt = os.path.join(
+            src_ckpt = storage.join(
                 self.al_cfg.AL.PREVIOUS_AL_LOG_DIR,
                 "ITER-%d" % i,
                 "checkpoints",
                 "CKPT-FINAL",
             )
             dst_dir = self._expr_dir("ITER-%d" % i, "checkpoints")
-            os.makedirs(dst_dir, exist_ok=True)
-            if os.path.isdir(src_ckpt):
-                shutil.copytree(
-                    src_ckpt, os.path.join(dst_dir, "CKPT-FINAL"),
-                    dirs_exist_ok=True,
-                )
+            storage.makedirs(dst_dir)
+            if storage.isdir(src_ckpt):
+                storage.copytree(src_ckpt, storage.join(dst_dir, "CKPT-FINAL"))
             else:
                 self._logger.info("Checkpoint not found: %s" % src_ckpt)
             for name in ("SAMPLED-GUID-ITER-%d" % i, "SAL-GUID-ITER-%d" % i):
-                src = os.path.join(self.al_cfg.AL.PREVIOUS_AL_LOG_DIR, name)
-                if os.path.isfile(src):
-                    shutil.copy(src, self._expr_dir(name))
+                src = storage.join(self.al_cfg.AL.PREVIOUS_AL_LOG_DIR, name)
+                if storage.exists(src):
+                    storage.copy(src, self._expr_dir(name))
                 else:
                     self._logger.warning("GUID log not found: %s" % src)
 
@@ -1181,7 +1183,7 @@ class ActiveLearningStrategy:
         state = self._load_weights(self.al_cfg, state)
         path = self._expr_dir("INIT-WEIGHT")
         if _is_main():
-            os.makedirs(self._expr_dir(), exist_ok=True)
+            storage.makedirs(self._expr_dir())
             ckpt.save_checkpoint(path, state)
             self._logger.info("Initial AL weights saved at %s." % path)
         return path
@@ -1191,7 +1193,7 @@ class ActiveLearningStrategy:
         every other writer attachment (run_al_iteration's re-attach and the
         reference's rank gate at strategy.py:79,127) — other processes read
         `self.al_writer is None`."""
-        os.makedirs(self._expr_dir(), exist_ok=True)
+        storage.makedirs(self._expr_dir())
         if _is_main():
             self.al_writer = MetricsWriter(self._expr_dir("AL"))
             self.al_writer.add_text("comment", self.al_cfg.COMMENT, 0)

@@ -11,11 +11,12 @@ The scalar taxonomy matches the reference (lr, loss/train, 3D MKPE,
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Sequence
 
 import numpy as np
+
+from . import storage
 
 
 def _try_tb(log_dir: str):
@@ -29,10 +30,14 @@ def _try_tb(log_dir: str):
 
 class MetricsWriter:
     def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
+        storage.makedirs(log_dir)
         self.log_dir = log_dir
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        self._tb = _try_tb(log_dir)
+        self._jsonl = storage.open_file(
+            storage.join(log_dir, "metrics.jsonl"), "a"
+        )
+        # TB's SummaryWriter only writes local files; remote log dirs keep
+        # the JSONL record (the product contract) and skip TB.
+        self._tb = None if storage.is_remote(log_dir) else _try_tb(log_dir)
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._write({"tag": tag, "value": float(value), "step": int(step)})
@@ -66,15 +71,18 @@ class MetricsWriter:
         JSONL pointer + TB mirror (reference: writer.add_image with
         dataformats="HWC", strategy.py:836-848)."""
         arr = np.ascontiguousarray(np.asarray(image, dtype=np.uint8))
-        rel = os.path.join(
-            "images", "%s-%d.png" % (tag.replace("/", "_"), int(step))
-        )
-        path = os.path.join(self.log_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rel = "images/%s-%d.png" % (tag.replace("/", "_"), int(step))
+        path = storage.join(self.log_dir, "images",
+                            "%s-%d.png" % (tag.replace("/", "_"), int(step)))
+        storage.makedirs(storage.join(self.log_dir, "images"))
         try:
             from PIL import Image
+            import io as _io
 
-            Image.fromarray(arr).save(path)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            with storage.open_file(path, "wb") as f:
+                f.write(buf.getvalue())
         except Exception:
             rel = None
         self._write(

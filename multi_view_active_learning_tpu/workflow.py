@@ -33,6 +33,7 @@ from . import config as config_lib
 from .data import build_dataset
 from .parallel import mesh_from_config
 from .strategy import ActiveLearningStrategy
+from .utils import storage
 from .utils import enable_compilation_cache, get_logger
 from .utils import checkpoint as ckpt
 
@@ -201,7 +202,7 @@ def run_experiment(cfg) -> Dict:
         raise ValueError("Unknown EXPR_TYPE: %s" % cfg.EXPR_TYPE)
 
     if result and cfg.RESULTS:
-        with open(cfg.RESULTS, "w") as f:
+        with storage.open_file(cfg.RESULTS, "w") as f:
             json.dump(result, f)
     return result
 
