@@ -307,6 +307,14 @@ class TPUConfig:
     # (133-141 fps int8 vs 145 float, B=4 x 31 views, BENCH_NOTES round 3).
     # PoseResNet (64-2048 channels, MXU-peak-bound) keeps int8: 280 vs 238.
     INT8_SCORING_HRNET: bool = False
+    # HRNet branch blocks with <= this many channels compute their 3x3
+    # convs 2x2-output-packed ([4,4,C,4C] stride-2 conv + depth-to-space,
+    # ops/packed_conv.py): N=32 fills a quarter of the MXU's 128 output
+    # lanes, so the packed form trades 16/9x FLOPs for ~4x lane fill on
+    # the high-resolution branch the round-3 trace diagnosed as HRNet's
+    # scoring limiter.  Bit-identical parameter tree; numerics equal up to
+    # float reduction order.  0 disables; 32 packs branch 0 only.
+    HRNET_PACKED_MAX_CH: int = 0
     # With INT8_SCORING, also run the PoseResNet deconv head through the
     # fused int8 Pallas phase-deconv kernel
     # (ops/pallas/deconv.py::fused_deconv_bn_relu_int8): the k4/s2

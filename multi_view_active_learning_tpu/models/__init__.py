@@ -26,6 +26,7 @@ def build_model(cfg):
             num_joints=cfg.DATA.NUM_JOINTS,
             hrnet_cfg=cfg.POSE_ESTIMATOR.HRNET,
             dtype=_dtype(cfg),
+            packed_max_channels=cfg.TPU.HRNET_PACKED_MAX_CH,
         )
     raise ValueError("Unknown POSE_ESTIMATOR.TYPE: %s" % cfg.POSE_ESTIMATOR.TYPE)
 

@@ -61,6 +61,11 @@ class HighResolutionModule(nn.Module):
     num_channels: Sequence[int]
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
+    # Branch blocks with <= this many channels run their 3x3 convs
+    # 2x2-output-packed (ops/packed_conv.py) — the MXU lane-fill fix for
+    # the 32-channel high-resolution branch diagnosed as the scoring
+    # bottleneck (BENCH_NOTES round 3).  0 disables.
+    packed_max_channels: int = 0
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -71,6 +76,10 @@ class HighResolutionModule(nn.Module):
         ys = []
         for b in range(self.num_branches):
             x = xs[b]
+            packed = (
+                self.block == "BASIC"
+                and out_channels[b] <= self.packed_max_channels
+            )
             for i in range(self.num_blocks[b]):
                 needs_down = i == 0 and self.num_inchannels[b] != out_channels[b]
                 x = block_cls(
@@ -78,6 +87,7 @@ class HighResolutionModule(nn.Module):
                     strides=1,
                     downsample=needs_down,
                     dtype=self.dtype,
+                    packed=packed,
                     name=f"branch{b}_block{i}",
                 )(x, train)
             ys.append(x)
@@ -135,9 +145,12 @@ class PoseHighResolutionNet(nn.Module):
     stage4: Tuple = (3, 4, "BASIC", (4, 4, 4, 4), (32, 64, 128, 256))
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    # See HighResolutionModule.packed_max_channels (TPU.HRNET_PACKED_MAX_CH).
+    packed_max_channels: int = 0
 
     @classmethod
-    def from_config(cls, num_joints, hrnet_cfg, dtype=jnp.float32):
+    def from_config(cls, num_joints, hrnet_cfg, dtype=jnp.float32,
+                    packed_max_channels=0):
         def stage(s):
             return (
                 s.NUM_MODULES,
@@ -154,6 +167,7 @@ class PoseHighResolutionNet(nn.Module):
             stage4=stage(hrnet_cfg.STAGE4),
             final_conv_kernel=hrnet_cfg.FINAL_CONV_KERNEL,
             dtype=dtype,
+            packed_max_channels=packed_max_channels,
         )
 
     @nn.compact
@@ -228,6 +242,7 @@ class PoseHighResolutionNet(nn.Module):
                     num_channels=num_channels,
                     multi_scale_output=multi_scale,
                     dtype=self.dtype,
+                    packed_max_channels=self.packed_max_channels,
                     name=f"stage{stage_idx}_module{m}",
                 )(xs, train)
                 inchannels = [c * block_cls.expansion for c in num_channels]

@@ -50,22 +50,62 @@ def batch_norm(dtype, name):
     )
 
 
+class PackedConv3x3(nn.Module):
+    """Drop-in for `_conv(features, 3, 1, name=...)` that computes the conv
+    2x2-output-packed so small C_out fills the MXU lanes
+    (ops/packed_conv.py).  Declares the identical [3, 3, C_in, C_out]
+    `kernel` parameter, so the tree matches nn.Conv exactly."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.packed_conv import packed_conv3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        return packed_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+
+
 class BasicBlock(nn.Module):
-    """3x3 -> 3x3 residual block (reference: pose_resnet.py:156-189)."""
+    """3x3 -> 3x3 residual block (reference: pose_resnet.py:156-189).
+
+    `packed` computes the two stride-1 3x3 convs 2x2-output-packed
+    (PackedConv3x3) — same math and parameter tree, better MXU lane fill
+    for small channel counts (HRNet's high-resolution branches)."""
 
     planes: int
     strides: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    packed: bool = False
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        def conv3x3(y, strides, name):
+            # Packing needs even spatial dims (2x2 output tiles); both
+            # branches declare the identical `kernel` param, so the tree
+            # does not depend on the choice.
+            if (
+                self.packed
+                and strides == 1
+                and y.shape[1] % 2 == 0
+                and y.shape[2] % 2 == 0
+            ):
+                return PackedConv3x3(self.planes, dtype=self.dtype, name=name)(y)
+            return _conv(self.planes, 3, strides, name=name, dtype=self.dtype)(y)
+
         residual = x
-        out = _conv(self.planes, 3, self.strides, name="conv1", dtype=self.dtype)(x)
+        out = conv3x3(x, self.strides, "conv1")
         out = batch_norm(self.dtype, "bn1")(out, use_running_average=not train)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
+        out = conv3x3(out, 1, "conv2")
         out = batch_norm(self.dtype, "bn2")(out, use_running_average=not train)
         if self.downsample:
             residual = _conv(
@@ -83,6 +123,9 @@ class Bottleneck(nn.Module):
     strides: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    # Accepted for BLOCKS-dispatch uniformity with BasicBlock; Bottleneck's
+    # 3x3 runs at >= 64 channels where packing is a wash, so it ignores it.
+    packed: bool = False
     expansion: int = 4
 
     @nn.compact
