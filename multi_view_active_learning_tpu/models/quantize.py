@@ -26,7 +26,7 @@ here:
 
 Enable with ``TPU.INT8_SCORING`` (engine.Engine.forward); training always
 uses the standard float path.  Selection quality under int8 is pinned by
-tests/test_selection_quality.py::test_int8_scoring_preserves_ranking.
+tests/test_quantize.py::test_int8_engine_scoring_preserves_ranking.
 
 Reference contract: pose_estimators/pose_resnet.py:17-231 (topology);
 this module mirrors models/pose_resnet.py's parameter tree exactly.

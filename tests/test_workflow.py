@@ -207,12 +207,8 @@ def test_sal_histograms_written_per_iteration(tree, tmp_path):
     assert "sal/al_num_frames" in tags
 
 
-def test_sal_loop_on_mesh(tree, tmp_path):
-    """Full SAL iteration with batches sharded over a ('data'=2, 'view'=2)
-    mesh: sharded training steps + sharded pool scoring end to end."""
-    from multi_view_active_learning_tpu import parallel
-
-    cfg = _tiny_cfg(tree, str(tmp_path))
+def _run_sal_loop(tree, log_dir, mesh):
+    cfg = _tiny_cfg(tree, log_dir)
     cfg.EXPR_TYPE = "SAL"
     cfg.AL.STRATEGY = "TRIANGULATION"
     cfg.AL.ITERATIONS = 2
@@ -220,19 +216,58 @@ def test_sal_loop_on_mesh(tree, tmp_path):
     cfg.AL.ITER_AMOUNT = 2
     cfg.SAL.NUM_FRAMES = [0, 2]
     cfg.SAL.INLIER_THRESHOLD = 0
-    mesh = parallel.make_mesh(2, 2, devices=__import__("jax").devices()[:4])
     strategy = ActiveLearningStrategy(cfg, mesh)
     strategy.prepare_al_experiments()
     for iteration in range(2):
         workflow.run_al_iteration(cfg, mesh, iteration)
-    expr = os.path.join(str(tmp_path), "TEST")
-    sal_dict = json.load(open(os.path.join(expr, "SAL-DICT-ITER-1")))
+    return os.path.join(log_dir, "TEST")
+
+
+def test_sal_loop_on_mesh(tree, tmp_path):
+    """Full SAL iteration with batches sharded over a ('data'=2, 'view'=2)
+    mesh: sharded training steps + sharded pool scoring end to end — and
+    the mesh must not CHANGE the scoring: the trained checkpoint from the
+    mesh run, scored over the same pool with and without the mesh, must
+    produce the same sal_dict (same guids, same scores).
+
+    Scoring is compared from ONE set of weights because training itself is
+    not bit-reproducible across layouts (GSPMD psum reduction order drifts
+    the weights; a hard-argmax decode then flips discontinuously), but
+    scoring — loader sharding, batch padding, device placement, result
+    gathering — must be layout-invariant (reference all_gather contract:
+    strategy.py:1106-1147).  Components are pinned one level down
+    (test_sharding.py::test_sharded_score_step_matches_single_device);
+    this asserts the equality at the product level."""
+    from multi_view_active_learning_tpu import parallel
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.utils import checkpoint as ckpt
+
+    mesh = parallel.make_mesh(2, 2, devices=__import__("jax").devices()[:4])
+    expr_mesh = _run_sal_loop(tree, str(tmp_path / "mesh"), mesh)
+
+    sal_dict = json.load(open(os.path.join(expr_mesh, "SAL-DICT-ITER-1")))
     assert len(sal_dict["al_metric"]) == 6
     vals = np.asarray(list(sal_dict["al_metric"].values()))
     assert np.isfinite(vals).all()
-    assert os.path.isdir(
-        os.path.join(expr, "ITER-1", "checkpoints", "CKPT-FINAL")
-    )
+    final = os.path.join(expr_mesh, "ITER-1", "checkpoints", "CKPT-FINAL")
+    assert os.path.isdir(final)
+
+    cfg = _tiny_cfg(tree, str(tmp_path / "score"))
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    sal_by_layout = {}
+    for label, m in (("mesh", mesh), ("single", None)):
+        strategy = ActiveLearningStrategy(cfg, m)
+        pool = build_dataset(cfg, "train")
+        pool.resample_unlabeled_data()
+        state = ckpt.restore_params_only(final, strategy.new_state())
+        sal_by_layout[label] = strategy._compute_sal_dict(pool, state)
+    got, want = sal_by_layout["mesh"], sal_by_layout["single"]
+    assert list(got["al_metric"]) == list(want["al_metric"])
+    for key in ("al_metric", "sal_metric", "inlier_count", "mkpe"):
+        for guid, v in want[key].items():
+            assert got[key][guid] == pytest.approx(
+                v, rel=1e-4, abs=1e-4
+            ), (key, guid)
 
 
 def test_restore_from_resumes_optimizer_and_step(tree, tmp_path):
