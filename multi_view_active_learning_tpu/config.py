@@ -69,6 +69,14 @@ class ALConfig:
     MPE_CONFIG: str = "AVG"
     BSB_CONFIG: str = "AVG"
     HP_CONFIG: str = "AVG"
+    # CORESET feature space: POSE (root-centered triangulated 3D poses,
+    # the reference's utils/coreset.py:35-47 semantics, the default) or
+    # EMBEDDING (globally-pooled CNN trunk features, the formulation the
+    # coreset paper and BASELINE.json's north star describe).  EMBEDDING
+    # runs one extra pooled-trunk sweep over the labeled set per
+    # iteration (engine.embed_step) — the unlabeled side rides the
+    # scoring sweep already being paid.
+    CORESET_FEATURES: str = "POSE"
     # Beyond-reference: weight the DLT refit by per-view heatmap peak
     # confidence (weighted least squares).  Off by default for parity.
     CONFIDENCE_WEIGHTED_DLT: bool = False

@@ -414,11 +414,34 @@ class Engine:
         whole batch in one compiled call (replaces strategy.py:1004-1147).
 
         Returns per-frame arrays: keypoints_3d [B, K, 3], sal_metric [B],
-        inlier_count [B], al_metric [B], mkpe [B].
+        inlier_count [B], al_metric [B], mkpe [B] — plus embedding [B, C]
+        (view-averaged pooled trunk features) when the CORESET strategy
+        runs with AL.CORESET_FEATURES=EMBEDDING.
         """
-        heatmaps = self.forward(
-            params, batch_stats, images, int8_scales, use_int8=self.use_int8
+        want_embedding = (
+            al_strategy == "CORESET"
+            and self.cfg.AL.CORESET_FEATURES == "EMBEDDING"
         )
+        embedding = None
+        if want_embedding:
+            # One shared forward yields heatmaps AND the pooled trunk
+            # embedding; the float path is used regardless of
+            # TPU.INT8_SCORING (k-center distances on requant-perturbed
+            # features would buy noise, not speed — the trunk dominates
+            # either way and runs exactly once here).
+            B0, V0 = images.shape[0], images.shape[1]
+            flat = self._flatten_normalize(images, use_int8=False)
+            out, feats = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                flat, train=False, return_features=True,
+            )
+            heatmaps = out.reshape((B0, V0) + out.shape[1:])
+            embedding = jnp.mean(feats.reshape(B0, V0, -1), axis=1)
+        else:
+            heatmaps = self.forward(
+                params, batch_stats, images, int8_scales,
+                use_int8=self.use_int8,
+            )
         res = tri.triangulate_frames(
             heatmaps,
             proj_matrices,
@@ -464,13 +487,33 @@ class Engine:
         count = jnp.maximum(jnp.sum(joint_valid, axis=-1), 1)
         mkpe = jnp.sum(d, axis=-1) / count
 
-        return {
+        out = {
             "keypoints_3d": res["keypoints_3d"],
             "sal_metric": res["metric"],
             "inlier_count": res["inlier_count"],
             "al_metric": al_metric,
             "mkpe": mkpe,
         }
+        if embedding is not None:
+            out["embedding"] = embedding
+        return out
+
+    @partial(jax.jit, static_argnames=("self",))
+    def embed_step(self, params, batch_stats, images) -> jnp.ndarray:
+        """Pooled trunk embeddings: [B, V, H, W, 3] -> [B, C] float32
+        (spatial mean of the pre-head feature map, averaged over views).
+
+        The AL.CORESET_FEATURES=EMBEDDING feature extractor for frames the
+        scoring sweep does not visit (the labeled set); unlabeled frames
+        get the same embedding from score_step's shared forward.  Always
+        the float trunk — see score_step."""
+        B, V = images.shape[0], images.shape[1]
+        flat = self._flatten_normalize(images, use_int8=False)
+        _, feats = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat, train=False, return_features=True,
+        )
+        return jnp.mean(feats.reshape(B, V, -1), axis=1)
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(

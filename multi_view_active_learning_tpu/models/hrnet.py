@@ -171,7 +171,11 @@ class PoseHighResolutionNet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        """return_features=True returns (heatmaps, pooled) where pooled is
+        the globally-average-pooled high-resolution branch output [N, C]
+        (the collapsed pre-head feature map) — the feature space for
+        AL.CORESET_FEATURES=EMBEDDING (engine.embed_step)."""
         x = x.astype(self.dtype)
 
         # Stem: two stride-2 3x3 convs (reference: hrnet.py:303-309).
@@ -259,4 +263,6 @@ class PoseHighResolutionNet(nn.Module):
             dtype=jnp.float32,
             name="final_layer",
         )(ys[0].astype(jnp.float32))
+        if return_features:
+            return out, jnp.mean(ys[0].astype(jnp.float32), axis=(1, 2))
         return out

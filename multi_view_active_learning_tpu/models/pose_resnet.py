@@ -287,7 +287,8 @@ class PoseResNet(nn.Module):
     fast_deconv: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, skip_head: bool = False):
+    def __call__(self, x, train: bool = False, skip_head: bool = False,
+                 return_features: bool = False):
         """x: [N, H, W, 3] images, or [N, H/2, W/2, 12] space-to-depth'd
         images (the TPU scoring fast path — see SpaceToDepthStem).
 
@@ -295,7 +296,11 @@ class PoseResNet(nn.Module):
         the deconv head — the TPU.PALLAS_HEAD inference path applies the
         head itself via the fused Pallas kernel (ops/pallas/deconv.py,
         engine.Engine.forward).  Only valid at apply time (init must see
-        the full module so every parameter is created)."""
+        the full module so every parameter is created).
+
+        return_features=True returns (heatmaps, pooled) where pooled is
+        the globally-average-pooled trunk embedding [N, C] — the feature
+        space for AL.CORESET_FEATURES=EMBEDDING (engine.embed_step)."""
         block_cls, layer_sizes = RESNET_SPEC[self.num_layers]
         x = x.astype(self.dtype)
 
@@ -327,6 +332,11 @@ class PoseResNet(nn.Module):
 
         if skip_head:
             return x
+        pooled = (
+            jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+            if return_features
+            else None
+        )
 
         # Deconv head: 3x (ConvTranspose 256, k4, s2) + BN + ReLU.
         for i in range(3):
@@ -348,4 +358,6 @@ class PoseResNet(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=jnp.float32, name="final_layer",
         )(x.astype(jnp.float32))
+        if return_features:
+            return x, pooled
         return x

@@ -121,18 +121,32 @@ class CoreSet:
 
     sal_dict: {guid: pose [K, 3]-like} for the unlabeled pool;
     al_dict: {key: pose} for the already-labeled set.
+
+    `features` overrides the pose feature space with an explicit
+    [len(sal_dict) + len(al_dict), d] matrix, rows in sal-then-al order —
+    the AL.CORESET_FEATURES=EMBEDDING path (pooled CNN trunk embeddings,
+    the coreset paper's formulation).  k-center semantics are identical;
+    only the metric space changes.
     """
 
-    def __init__(self, sal_dict, al_dict, joint_root_index: int):
+    def __init__(self, sal_dict, al_dict, joint_root_index: int,
+                 features=None):
         self.sal_keys: List = list(sal_dict.keys())
+        self.n_sal = len(sal_dict)
+        self.n_obs = len(sal_dict) + len(al_dict)
+        if features is not None:
+            features = np.asarray(features, dtype=np.float32)
+            assert features.shape[0] == self.n_obs, (
+                features.shape, self.n_obs,
+            )
+            self.features = features
+            return
         sal = [np.asarray(v) for v in sal_dict.values()]
         al = [np.asarray(v) for v in al_dict.values()]
         # The reference stores poses as [K, rows>=3] lists; normalize to
         # [K, 3].
         all_poses = np.stack([p[:, :3] if p.shape[-1] >= 3 else p for p in sal + al])
         self.features = center_poses(all_poses, joint_root_index)
-        self.n_sal = len(sal)
-        self.n_obs = len(sal) + len(al)
 
     def select_batch(self, n: int) -> List:
         labeled = np.zeros((self.n_obs,), bool)

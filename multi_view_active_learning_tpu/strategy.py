@@ -441,10 +441,23 @@ class ActiveLearningStrategy:
                     "CORESET: dropped %d frames with non-finite triangulated "
                     "keypoints from the candidate pool." % dropped
                 )
+            features = None
+            if cfg.AL.CORESET_FEATURES == "EMBEDDING":
+                # Pooled CNN trunk embeddings (the coreset paper's feature
+                # space) instead of root-centered poses: candidates got
+                # theirs from score_step's shared forward; the labeled set
+                # needs one extra (small) sweep.
+                cand_emb = sal_dict.pop("embedding")
+                lab_emb = self._embed_labeled(train_pool, state)
+                features = np.stack(
+                    [cand_emb[g] for g in coreset_candidates]
+                    + [lab_emb[f["guid"]] for f in train_pool.labeled_data]
+                )
             cs = coreset_ops.CoreSet(
                 coreset_candidates,
                 train_pool.get_al_dict_for_coreset(),
                 self.joint_root_index,
+                features=features,
             )
             al_guids = cs.select_batch(min(al_num_frames, len(coreset_candidates)))
         else:
@@ -604,6 +617,13 @@ class ActiveLearningStrategy:
                     sal_dict["pred_3d_keypoints"][guid] = out["keypoints_3d"][i].tolist()
                     sal_dict["al_metric"][guid] = float(out["al_metric"][i])
                     sal_dict["mkpe"][guid] = float(out["mkpe"][i])
+                    if "embedding" in out:
+                        # CORESET_FEATURES=EMBEDDING rides the scoring
+                        # sweep; _sal_pseudo_labeling pops this before the
+                        # sal_dict is JSON-dumped.
+                        sal_dict.setdefault("embedding", OrderedDict())[
+                            guid
+                        ] = np.asarray(out["embedding"][i], np.float32)
                     n_frames += 1
         finally:
             # Release the decode-pool liveness ref deterministically
@@ -628,6 +648,49 @@ class ActiveLearningStrategy:
                         iteration,
                     )
         return sal_dict
+
+    def _embed_labeled(self, train_pool, state) -> "OrderedDict[str, np.ndarray]":
+        """Pooled trunk embeddings of the LABELED set, keyed by guid — the
+        already-covered centers for AL.CORESET_FEATURES=EMBEDDING.
+
+        One engine.embed_step sweep over train_pool.labeled_data (small:
+        the AL budget, not the pool), with the same loader sharding /
+        global-gather discipline as the scoring sweep."""
+
+        class _ListPool:
+            def __init__(self, frames):
+                self.data = frames
+
+        loader = self._get_loader(
+            _ListPool(list(train_pool.labeled_data)),
+            self.al_cfg.AL.INFERENCE.BATCH_SIZE,
+            self.al_cfg.AL.INFERENCE.NUM_WORKERS,
+        )
+        procs = jax.process_count()
+        embeddings: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+        def _dispatched():
+            for batch_index, batch in enumerate(loader):
+                emb = self.engine.embed_step(
+                    state.params, state.batch_stats,
+                    self._device_images(batch),
+                )
+                if procs > 1:
+                    guids, frame_valid = loader.global_batch_layout(batch_index)
+                else:
+                    guids, frame_valid = batch["guid"], batch["frame_valid"]
+                yield (guids, frame_valid), {"embedding": emb}
+
+        try:
+            for (guids, frame_valid), out in self._pipelined_fetch(_dispatched()):
+                for i, guid in enumerate(guids):
+                    if frame_valid[i]:
+                        embeddings[guid] = np.asarray(
+                            out["embedding"][i], np.float32
+                        )
+        finally:
+            loader.close()
+        return embeddings
 
     # -------------------------------------------------------------- training
 

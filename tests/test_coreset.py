@@ -91,3 +91,26 @@ def test_duplicate_pool_never_selects_labeled():
     batch = coreset.CoreSet(sal, al, joint_root_index=2).select_batch(3)
     assert len(batch) == 3
     assert all(k in sal for k in batch)
+
+
+def test_coreset_features_override():
+    """Explicit `features` (the AL.CORESET_FEATURES=EMBEDDING path) replaces
+    the pose feature space: with IDENTICAL poses everywhere, selection is
+    driven purely by the override matrix — greedy must pick the unlabeled
+    row farthest from the labeled center, and never the near-duplicate."""
+    rng = np.random.default_rng(11)
+    pose = rng.normal(size=(19, 3))  # same pose for every frame
+    sal = {f"s{i}": pose for i in range(3)}
+    al = {"a0": pose}
+    # 1-D embeddings: labeled at 0; s0 at 0.01 (duplicate), s1 at 5, s2 at 9.
+    feats = np.asarray([[0.01], [5.0], [9.0], [0.0]], np.float32)
+    cs = coreset.CoreSet(sal, al, joint_root_index=2, features=feats)
+    assert cs.select_batch(2) == ["s2", "s1"]
+
+    # Row-count mismatch is a hard error, not silent misalignment.
+    try:
+        coreset.CoreSet(sal, al, joint_root_index=2, features=feats[:3])
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("shape mismatch not caught")

@@ -97,6 +97,41 @@ def test_coreset_strategy_selection(tree, tmp_path):
     assert len(sampled) == 2
 
 
+def test_coreset_embedding_features_avoid_duplicates(tree, tmp_path):
+    """AL.CORESET_FEATURES=EMBEDDING selects by pooled CNN trunk features
+    (engine.embed_step / score_step's shared forward): a frame whose
+    images DUPLICATE an already-labeled frame has ~zero embedding distance
+    to the covered set, so k-center greedy must leave it for last — even
+    though its triangulated POSE (the default feature space) stays distinct
+    because the duplicate keeps its own cameras."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "CORESET"
+    cfg.AL.CORESET_FEATURES = "EMBEDDING"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+
+    guids = list(pool.unlabeled_data)
+    labeled_guid, dup_guid = guids[0], guids[3]
+    # Make dup_guid's views pixel-identical to the labeled frame's (path
+    # AND crop box; cameras stay its own, so its triangulated POSE — the
+    # default coreset feature — remains distinct from the labeled frame's).
+    for cam, view in pool.unlabeled_data[dup_guid]["views"].items():
+        src = pool.unlabeled_data[labeled_guid]["views"][cam]
+        view["path"] = src["path"]
+        view["box"] = src["box"]
+    pool.label_by_frame_guids([labeled_guid])
+    state = strategy.new_state()
+
+    n_unlabeled = len(pool.unlabeled_data)
+    al_guids, _, sal_dict = strategy._sal_pseudo_labeling(
+        pool, n_unlabeled - 1, 0, state, 1
+    )
+    assert len(al_guids) == n_unlabeled - 1
+    assert dup_guid not in al_guids  # the covered duplicate is left behind
+    assert "embedding" not in sal_dict  # popped before any JSON dump
+
+
 def test_mpe_strategy_scoring(tree, tmp_path):
     cfg = _tiny_cfg(tree, str(tmp_path))
     cfg.EXPR_TYPE = "AL"
