@@ -13,8 +13,8 @@ without code changes.  Checkpoints already ride orbax, which speaks
 
 Only metadata and small-file IO belongs here.  The JPEG decode hot path
 (data/pipeline.py) also calls :func:`read_bytes` — for remote roots the
-decoded-view cache in the loader is the read shield, and the native C++
-loader (local mmap'd IO) is automatically bypassed for remote paths.
+decoded-view cache in the loader is the read shield; the native C++
+decoder still applies (it decodes from the fetched bytes).
 
 fsspec import stays lazy: local-only runs (tests, the bench, the
 forkserver decode workers) never pay it.

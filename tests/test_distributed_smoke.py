@@ -116,12 +116,13 @@ _SCORING_WORKER = textwrap.dedent(
     from multi_view_active_learning_tpu import parallel
 
     pid = int(os.environ["MVAL_PROC_ID"])
+    nprocs = int(os.environ.get("MVAL_NPROCS", "2"))
     assert parallel.initialize_distributed(
         coordinator_address=os.environ["MVAL_COORD"],
-        num_processes=2,
+        num_processes=nprocs,
         process_id=pid,
     )
-    assert jax.process_count() == 2 and len(jax.devices()) == 2
+    assert jax.process_count() == nprocs and len(jax.devices()) == nprocs
 
     from multi_view_active_learning_tpu.config import get_default_configs
     from multi_view_active_learning_tpu.data import build_dataset
@@ -143,10 +144,11 @@ _SCORING_WORKER = textwrap.dedent(
     cfg.LOG_DIR = os.environ["MVAL_LOG"]
     cfg.EXPR_NAME = "DIST-%d" % pid
 
-    # One ('data'=2, 'view'=1) mesh over BOTH processes' devices: each
+    # One ('data'=nprocs, 'view'=1) mesh over EVERY process's device: each
     # process loads B=1 local batches from its own pool shard; _put
-    # assembles the global B=2 batch; _fetch_global all-gathers results.
-    mesh = parallel.make_mesh(2, 1)
+    # assembles the global B=nprocs batch; _fetch_global all-gathers
+    # results.
+    mesh = parallel.make_mesh(nprocs, 1)
     strategy = ActiveLearningStrategy(cfg, mesh)
     assert strategy._local_data_parallelism() == 1
 
@@ -168,7 +170,7 @@ _SCORING_WORKER = textwrap.dedent(
     total = jax.jit(
         lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
     )(tiny)
-    assert float(np.asarray(jax.device_get(total))) == 3.0
+    assert float(np.asarray(jax.device_get(total))) == nprocs * (nprocs + 1) / 2
 
     dummy = {
         "images": np.zeros((1, 2, 32, 32, 3), np.uint8),
@@ -377,15 +379,9 @@ def test_two_process_distributed_smoke(tmp_path):
     assert results[0]["n_batches"] == 2 and results[1]["n_batches"] == 2
 
 
-def test_two_process_pool_scoring(tmp_path):
-    """The flagship scoring sweep (strategy._compute_sal_dict) across TWO
-    real jax processes sharing one ('data'=2, 'view'=1) mesh: each process
-    loads only its pool shard (5 frames -> 3+2, so one process steps
-    through a fully PADDED tail batch), `_put` assembles global batches via
-    make_array_from_process_local_data, and `_fetch_global` all-gathers the
-    per-frame metrics — both processes must end up with the COMPLETE
-    sal_dict, identically (the reference's NCCL sal_dict all_gather,
-    reference: strategy.py:1090-1147)."""
+def _run_scoring_smoke(tmp_path, nprocs, timeout):
+    """Launch `nprocs` scoring workers over a 5-frame pool and assert
+    every process ends with the same COMPLETE sal_dict."""
     from multi_view_active_learning_tpu.data.synthetic import (
         generate_panoptic_tree,
     )
@@ -397,13 +393,14 @@ def test_two_process_pool_scoring(tmp_path):
     port = _free_port()
     worker_py = tmp_path / "scoring_worker.py"
     worker_py.write_text(_SCORING_WORKER)
-    outs = [str(tmp_path / ("score_out%d.json" % i)) for i in range(2)]
+    outs = [str(tmp_path / ("score_out%d.json" % i)) for i in range(nprocs)]
     procs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         env = dict(os.environ)
         env.update(
             MVAL_REPO=REPO,
             MVAL_PROC_ID=str(pid),
+            MVAL_NPROCS=str(nprocs),
             MVAL_COORD="localhost:%d" % port,
             MVAL_OUT=outs[pid],
             MVAL_TREE=tree,
@@ -421,20 +418,43 @@ def test_two_process_pool_scoring(tmp_path):
                 text=True,
             )
         )
-    logs = _drain_workers(procs, timeout=1200)  # cold-cache concurrent compiles
+    logs = _drain_workers(procs, timeout=timeout)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 
-    r0, r1 = [json.load(open(o)) for o in outs]
-    # Complete: every pool guid scored, on BOTH processes.
+    results = [json.load(open(o)) for o in outs]
+    r0 = results[0]
+    # Complete: every pool guid scored, on EVERY process.
     assert r0["guids"] == r0["pool_guids"] and len(r0["guids"]) == 5
-    # Identical across processes (same global arrays, same all-gather).
-    assert r0["guids"] == r1["guids"]
-    for guid in r0["al_metric"]:
-        assert r0["al_metric"][guid] == r1["al_metric"][guid]
-        assert r0["inliers"][guid] == r1["inliers"][guid]
+    for r in results[1:]:
+        # Identical across processes (same global arrays, same all-gather).
+        assert r["guids"] == r0["guids"]
+        for guid in r0["al_metric"]:
+            assert r["al_metric"][guid] == r0["al_metric"][guid]
+            assert r["inliers"][guid] == r0["inliers"][guid]
     vals = np.asarray(list(r0["al_metric"].values()))
     assert np.isfinite(vals).all()
+
+
+def test_two_process_pool_scoring(tmp_path):
+    """The flagship scoring sweep (strategy._compute_sal_dict) across TWO
+    real jax processes sharing one ('data'=2, 'view'=1) mesh: each process
+    loads only its pool shard (5 frames -> 3+2, so one process steps
+    through a fully PADDED tail batch), `_put` assembles global batches via
+    make_array_from_process_local_data, and `_fetch_global` all-gathers the
+    per-frame metrics — both processes must end up with the COMPLETE
+    sal_dict, identically (the reference's NCCL sal_dict all_gather,
+    reference: strategy.py:1090-1147)."""
+    _run_scoring_smoke(tmp_path, 2, timeout=1200)  # cold-cache compiles
+
+
+def test_four_process_pool_scoring(tmp_path):
+    """The same sweep at FOUR processes: 5 frames shard 2+1+1+1, so the
+    shard-equalization path (data/pipeline.py) must top the three short
+    shards up with fully padded batches to keep every process in lockstep
+    for the global batch assembly — paths a 2-process run never exercises
+    with a non-empty tail on both sides."""
+    _run_scoring_smoke(tmp_path, 4, timeout=1800)  # 4 concurrent compiles
 
 
 def test_two_process_training(tmp_path):
