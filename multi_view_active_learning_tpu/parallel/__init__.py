@@ -168,4 +168,26 @@ def shard_batch(mesh: Mesh, batch: dict, view_keys=()) -> dict:
 
 
 def replicate_tree(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    """Host tree -> fully replicated device arrays over `mesh`.
+
+    Multi-process, jax.device_put with a non-addressable replicated
+    sharding routes through a multihost allgather — a gloo/ICI collective
+    with a hard rendezvous deadline, paid per leaf, exactly when processes
+    are maximally skewed (model-init and checkpoint-restore happen right
+    after bring-up, behind minutes of per-process compiles).  But the
+    caller's contract here is that the HOST values are already identical
+    on every process (deterministic PRNG init, shared checkpoint reads,
+    KV-broadcast run names), so each process can just place its own local
+    shards: make_array_from_callback with a replicated sharding touches no
+    collective at all."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    sharding = replicated(mesh)
+
+    def _leaf(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree_util.tree_map(_leaf, tree)

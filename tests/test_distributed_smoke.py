@@ -124,6 +124,30 @@ _SCORING_WORKER = textwrap.dedent(
     )
     assert jax.process_count() == nprocs and len(jax.devices()) == nprocs
 
+    # The XLA:CPU gloo collectives context does a ~30 s key-value exchange
+    # on FIRST use, so the first collective must run while the processes
+    # are still ALIGNED — i.e. right here, straight out of the
+    # initialize_distributed rendezvous, BEFORE any of the minutes-long
+    # per-process compiles this 1-core box serializes (at 4 workers the
+    # model-init skew alone blows the 30 s window; observed, round 4).
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    # One ('data'=nprocs, 'view'=1) mesh over EVERY process's device: each
+    # process loads B=1 local batches from its own pool shard; _put
+    # assembles the global B=nprocs batch; _fetch_global all-gathers
+    # results.
+    mesh = parallel.make_mesh(nprocs, 1)
+    tiny = jax.make_array_from_callback(
+        (nprocs,),
+        NamedSharding(mesh, P(parallel.DATA_AXIS)),
+        lambda idx: np.asarray([pid + 1.0], np.float32),
+    )
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(tiny)
+    assert float(np.asarray(jax.device_get(total))) == nprocs * (nprocs + 1) / 2
+
     from multi_view_active_learning_tpu.config import get_default_configs
     from multi_view_active_learning_tpu.data import build_dataset
     from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
@@ -144,33 +168,16 @@ _SCORING_WORKER = textwrap.dedent(
     cfg.LOG_DIR = os.environ["MVAL_LOG"]
     cfg.EXPR_NAME = "DIST-%d" % pid
 
-    # One ('data'=nprocs, 'view'=1) mesh over EVERY process's device: each
-    # process loads B=1 local batches from its own pool shard; _put
-    # assembles the global B=nprocs batch; _fetch_global all-gathers
-    # results.
-    mesh = parallel.make_mesh(nprocs, 1)
     strategy = ActiveLearningStrategy(cfg, mesh)
     assert strategy._local_data_parallelism() == 1
 
     pool = build_dataset(cfg, "train")
     pool.resample_unlabeled_data()
     all_guids = sorted(f["guid"] for f in pool.data)
+    # No collective in here: parallel.replicate_tree places local shards
+    # directly (identical host values by construction), so the model-init
+    # compile can skew processes freely.
     state = strategy.new_state()
-
-    # The XLA:CPU gloo collectives context does a 30 s key-value exchange
-    # on FIRST use; on this 1-core box the two processes' minutes-long
-    # score_step compiles can skew past that.  So: (1) create the gloo
-    # context NOW with a tiny psum while the processes are still aligned,
-    # (2) AOT-precompile score_step, (3) rendezvous at a KV barrier (no
-    # gloo, generous timeout), and only then execute the sweep in lockstep.
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    tiny = strategy._put(np.full((1,), pid + 1.0, np.float32))
-    total = jax.jit(
-        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
-    )(tiny)
-    assert float(np.asarray(jax.device_get(total))) == nprocs * (nprocs + 1) / 2
 
     dummy = {
         "images": np.zeros((1, 2, 32, 32, 3), np.uint8),
@@ -179,9 +186,12 @@ _SCORING_WORKER = textwrap.dedent(
         "gt3": np.zeros((1, 4, 3), np.float32),
     }
     pairs = jnp.asarray(strategy.engine.pairs(2))
-    # .lower on the jit object does not descriptor-bind self — pass it.
-    lowered = type(strategy.engine).score_step.lower(
-        strategy.engine,
+    # Warm-up EXECUTION at the sweep's exact shapes: trace + compile +
+    # executable-load now, while skew does not matter — score_step over
+    # data-sharded inputs has no cross-process collective (results stay
+    # sharded until _fetch_global), so processes may pass through here
+    # minutes apart under this box's 4-way compile contention.
+    warm_out = strategy.engine.score_step(
         state.params,
         state.batch_stats,
         strategy._put(dummy["images"], view_axis=True),
@@ -196,10 +206,15 @@ _SCORING_WORKER = textwrap.dedent(
         bsb_aggregate=cfg.AL.BSB_CONFIG,
         int8_scales=None,
     )
-    lowered.compile()  # populates the in-process jit cache via persistence
     from jax._src import distributed as _dist
 
-    _dist.global_state.client.wait_at_barrier("score_step_compiled", 300_000)
+    _dist.global_state.client.wait_at_barrier("score_step_compiled", 600_000)
+    # First process_allgather creates its OWN gloo context (distinct from
+    # the psum's) with a hard ~30 s key-exchange deadline — do it NOW,
+    # barrier-aligned, on the warm-up result tree (the sweep's exact
+    # shapes), so sweep-time fetches reuse context and executables.
+    strategy._fetch_global(warm_out)
+    _dist.global_state.client.wait_at_barrier("allgather_warm", 600_000)
 
     sal = strategy._compute_sal_dict(pool, state)
 
