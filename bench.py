@@ -151,6 +151,9 @@ def main():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PALLAS_HEAD = os.environ.get("BENCH_PALLAS_HEAD", "0") == "1"
+    # MXU-packed small-channel HRNet branch convs (ops/packed_conv.py);
+    # e.g. BENCH_PACKED=32 packs the 32-channel high-res branch.
+    cfg.TPU.HRNET_PACKED_MAX_CH = int(os.environ.get("BENCH_PACKED", "0"))
     # Unset BENCH_INT8 measures the PRODUCT defaults; see _apply_int8_env.
     _apply_int8_env(cfg)
     # Fused int8 Pallas phase-deconv head (TPU.INT8_DECONV).

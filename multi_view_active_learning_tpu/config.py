@@ -315,13 +315,20 @@ class TPUConfig:
     # (133-141 fps int8 vs 145 float, B=4 x 31 views, BENCH_NOTES round 3).
     # PoseResNet (64-2048 channels, MXU-peak-bound) keeps int8: 280 vs 238.
     INT8_SCORING_HRNET: bool = False
+    # Bypass the per-strategy int8 gate (engine.Engine.INT8_SAFE_STRATEGIES
+    # — MPE/BSB measured ranking-UNSAFE under int8, BENCH_NOTES round 4).
+    # For the evidence harness (tools/validate_learning.py --int8_compare)
+    # and users who accept perturbed uncertainty rankings for the speed.
+    INT8_SCORING_FORCE: bool = False
     # HRNet branch blocks with <= this many channels compute their 3x3
     # convs 2x2-output-packed ([4,4,C,4C] stride-2 conv + depth-to-space,
-    # ops/packed_conv.py): N=32 fills a quarter of the MXU's 128 output
-    # lanes, so the packed form trades 16/9x FLOPs for ~4x lane fill on
-    # the high-resolution branch the round-3 trace diagnosed as HRNet's
-    # scoring limiter.  Bit-identical parameter tree; numerics equal up to
-    # float reduction order.  0 disables; 32 packs branch 0 only.
+    # ops/packed_conv.py) — the output-lane-fill attack on the
+    # small-channel branch convs.  MEASURED A 2x NET LOSS on the v5e axon
+    # backend (71 vs 145 fps; trace: XLA's fine conv already runs ~48%
+    # MFU at C=32, and the per-conv depth-to-space adds 38% pure relayout
+    # — BENCH_NOTES round 4).  Kept as a tested option for backends whose
+    # conv lowering IS lane-starved.  0 (default) disables; 32 packs
+    # branch 0 only.  Bit-identical parameter tree either way.
     HRNET_PACKED_MAX_CH: int = 0
     # With INT8_SCORING, also run the PoseResNet deconv head through the
     # fused int8 Pallas phase-deconv kernel

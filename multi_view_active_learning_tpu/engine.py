@@ -286,10 +286,29 @@ class Engine:
             and bool(self.cfg.TPU.INT8_SCORING_HRNET)
         )
 
+    # Strategies whose selection MEASURED int8-safe on trained synthetic
+    # checkpoints (tools/validate_learning.py --int8_compare, BENCH_NOTES
+    # round 4): TRIANGULATION/HP rank_corr 0.93/1.00 and CORESET selection
+    # overlap 1.00, but MPE 0.45 and BSB 0.79 — those two rank raw heatmap
+    # VALUES (entropy of peak masses; |p0 - p1| of the top two peaks),
+    # which int8 requant rounding perturbs directly, where the safe ones
+    # consume argmax LOCATIONS or triangulated geometry.  RANDOM never
+    # runs a forward.
+    INT8_SAFE_STRATEGIES = ("TRIANGULATION", "HP", "CORESET", "RANDOM")
+
     @property
     def use_int8(self) -> bool:
-        """Int8 backbone for the SCORING path (TPU.INT8_SCORING)."""
-        return bool(self.cfg.TPU.INT8_SCORING) and self._int8_supported()
+        """Int8 backbone for the SCORING path (TPU.INT8_SCORING), gated to
+        the strategies with measured selection-parity evidence (see
+        INT8_SAFE_STRATEGIES); MPE/BSB always score float."""
+        return (
+            bool(self.cfg.TPU.INT8_SCORING)
+            and self._int8_supported()
+            and (
+                self.cfg.AL.STRATEGY in self.INT8_SAFE_STRATEGIES
+                or bool(self.cfg.TPU.INT8_SCORING_FORCE)
+            )
+        )
 
     @property
     def use_int8_eval(self) -> bool:

@@ -37,7 +37,7 @@ from .engine import Engine, TrainState
 from .ops import coreset as coreset_ops
 from .utils import checkpoint as ckpt
 from .utils import storage
-from .utils import evaluation, get_logger, profiling
+from .utils import RateLogger, evaluation, get_logger, profiling
 from .utils.kmeans import KMeans
 from .utils.metrics_writer import MetricsWriter
 
@@ -554,16 +554,20 @@ class ActiveLearningStrategy:
         n_frames = 0
         int8_scales = None
         procs = jax.process_count()
+        progress = RateLogger(
+            self._logger, "scored", len(pool.data) if pool.data else 0
+        )
         if self.engine.use_int8:
-            # The default is measured-safe for selection (ranking-quality
-            # evidence in BENCH_NOTES round 3: rank_corr 0.93 / top-k
-            # overlap 1.0 / eval-MKPE delta 0.000 on trained synthetic
-            # checkpoints), but that evidence is synthetic — say so rather
+            # The default engages only for strategies with measured
+            # selection parity (Engine.INT8_SAFE_STRATEGIES — per-strategy
+            # table in BENCH_NOTES round 4; MPE/BSB measured unsafe and
+            # score float), and that evidence is synthetic — say so rather
             # than quantize silently; one config key returns to float.
             self._logger.info(
                 "Pool scoring uses the int8 backbone (TPU.INT8_SCORING "
-                "default; ranking-validated on synthetic checkpoints — set "
+                "default, %s is int8-safe per BENCH_NOTES round 4 — set "
                 "TPU.INT8_SCORING: false for bit-float scoring)."
+                % cfg.AL.STRATEGY
             )
 
         def _dispatched():
@@ -625,6 +629,7 @@ class ActiveLearningStrategy:
                             guid
                         ] = np.asarray(out["embedding"][i], np.float32)
                     n_frames += 1
+                progress.tick(int(np.sum(frame_valid)))
         finally:
             # Release the decode-pool liveness ref deterministically
             # (pipeline._acquire_shared_executor's MUST-pair contract);

@@ -81,3 +81,45 @@ def get_logger(name: str = "mval_tpu", level: int = logging.INFO) -> logging.Log
     except Exception:  # jax not importable/initialised; keep default level.
         pass
     return logger
+
+
+class RateLogger:
+    """Periodic progress lines for long sweeps — the role the reference
+    fills by bridging tqdm into its logger (reference:
+    utils/__init__.py:15-33, TqdmToLogger).  A tqdm bar is wrong for
+    rank-gated multi-process logs and useless in captured files, so this
+    logs at most one line per `interval` seconds:
+
+        scored 1280/8448 frames (15.2%, 212.3 frames/s)
+
+    Call `tick(n)` per item (or batch, with n=items); `close()` is
+    deliberately absent — the sweep's own summary line is the final word.
+    """
+
+    def __init__(self, logger, verb: str, total: int, unit: str = "frames",
+                 interval: float = 15.0):
+        import time as _time
+
+        self._logger = logger
+        self._verb = verb
+        self._total = int(total)
+        self._unit = unit
+        self._interval = interval
+        self._time = _time
+        self._t0 = _time.monotonic()
+        self._last = self._t0
+        self._count = 0
+
+    def tick(self, n: int = 1) -> None:
+        self._count += int(n)
+        now = self._time.monotonic()
+        if now - self._last < self._interval or self._count >= self._total:
+            return
+        self._last = now
+        rate = self._count / max(now - self._t0, 1e-9)
+        pct = 100.0 * self._count / max(self._total, 1)
+        self._logger.info(
+            "%s %d/%d %s (%.1f%%, %.1f %s/s)"
+            % (self._verb, self._count, self._total, self._unit, pct, rate,
+               self._unit)
+        )

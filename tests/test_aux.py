@@ -73,3 +73,34 @@ def test_logger_singleton():
     a = get_logger("x")
     b = get_logger("x")
     assert a is b
+
+
+def test_rate_logger_periodic_lines():
+    """utils.RateLogger (the reference's tqdm-to-logger role): emits rate
+    lines no more often than `interval`, and never a completion line (the
+    sweep's own summary owns that)."""
+    import logging
+    import time
+
+    from multi_view_active_learning_tpu.utils import RateLogger
+
+    logs = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            logs.append(record.getMessage())
+
+    logger = logging.getLogger("test_rate_logger")
+    logger.addHandler(_H())
+    logger.setLevel(logging.INFO)
+
+    r = RateLogger(logger, "scored", 100, interval=0.05)
+    r.tick(10)  # within interval: silent
+    assert not logs
+    time.sleep(0.06)
+    r.tick(10)
+    assert any("scored 20/100 frames (20.0%" in m for m in logs), logs
+
+    done = RateLogger(logger, "scored", 10, interval=0.0)
+    done.tick(10)
+    assert not any("scored 10/10" in m for m in logs), logs

@@ -229,3 +229,33 @@ def test_int8_default_gated_per_model_family():
     assert Engine(cfg_hr).use_int8  # explicit opt-in still works
     cfg_hr.TPU.INT8_SCORING = False
     assert not Engine(cfg_hr).use_int8  # master switch still wins
+
+
+def test_int8_default_gated_per_strategy():
+    """TPU.INT8_SCORING applies only to strategies with MEASURED selection
+    parity (tools/validate_learning.py --int8_compare, BENCH_NOTES round
+    4): MPE rank_corr 0.45 and BSB 0.79 on a trained checkpoint — they
+    rank raw heatmap values, which int8 requant perturbs — so they must
+    score float even under the default.  TPU.INT8_SCORING_FORCE is the
+    explicit escape hatch (and the evidence harness's raw-measurement
+    knob)."""
+    from multi_view_active_learning_tpu.engine import Engine
+
+    def engine(strategy, force=False):
+        cfg = get_default_configs()
+        cfg.DATA.NUM_JOINTS = 4
+        cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+        cfg.AL.STRATEGY = strategy
+        cfg.TPU.INT8_SCORING_FORCE = force
+        return Engine(cfg)
+
+    # Evidence-backed safe set stays int8 under the default.
+    for strategy in ("TRIANGULATION", "HP", "CORESET", "RANDOM"):
+        assert engine(strategy).use_int8, strategy
+        assert strategy in Engine.INT8_SAFE_STRATEGIES
+    # Measured-unsafe strategies score float...
+    for strategy in ("MPE", "BSB"):
+        assert not engine(strategy).use_int8, strategy
+        assert strategy not in Engine.INT8_SAFE_STRATEGIES
+        # ...unless the user forces the bypass explicitly.
+        assert engine(strategy, force=True).use_int8, strategy

@@ -36,6 +36,8 @@ def main():
                         help="score = the AL scoring step (bench.py workload);"
                              " train = the fwd+bwd optimizer step at the"
                              " reference train config (B=2 x 8 views)")
+    parser.add_argument("--packed", type=int, default=0,
+                        help="TPU.HRNET_PACKED_MAX_CH for HRNET traces")
     parser.add_argument("--int8", action="store_true",
                         help="trace the TPU.INT8_SCORING path (score mode; "
                              "calibrates on the bench batch first)")
@@ -62,6 +64,8 @@ def main():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.INT8_SCORING = bool(args.int8)
+    cfg.TPU.INT8_SCORING_HRNET = bool(args.int8)  # per-family gate
+    cfg.TPU.HRNET_PACKED_MAX_CH = int(args.packed)
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, 256, 256, 3))
 

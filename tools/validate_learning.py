@@ -99,40 +99,92 @@ def main():
 
 
 def _int8_compare(cfg, state) -> bool:
-    """Float-vs-int8 scoring on a TRAINED checkpoint: the evidence behind
-    the TPU.INT8_SCORING default.  The AL metric only feeds frame selection
-    (a ranking, reference strategy.py:945-949), so the bar is ranking
-    agreement, not bitwise parity; eval-MKPE is compared for the
-    TPU.INT8_EVAL (off-by-default) knob."""
+    """Float-vs-int8 scoring on a TRAINED checkpoint, PER STRATEGY: the
+    evidence behind the TPU.INT8_SCORING default.  The AL metric only feeds
+    frame selection (a ranking, reference strategy.py:945-949), so the bar
+    is ranking agreement, not bitwise parity: rank_corr > 0.9 and top-25%
+    overlap >= 0.75 for every metric strategy (TRIANGULATION scores off
+    triangulated geometry; MPE/HP/BSB score off raw heatmap values, which
+    int8 requant perturbs differently), plus selected-set overlap for
+    CORESET (k-center greedy over the triangulated poses).  eval-MKPE is
+    compared for the TPU.INT8_EVAL (off-by-default) knob."""
     from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.engine import Engine
+    from multi_view_active_learning_tpu.ops import coreset as coreset_ops
     from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 
+    good = True
     sal = {}
-    for int8 in (False, True):
-        c = cfg.clone()
-        c.AL.STRATEGY = "TRIANGULATION"
-        c.TPU.INT8_SCORING = int8
-        strat = ActiveLearningStrategy(c)
-        pool = build_dataset(c, "train")
-        pool.resample_unlabeled_data()
-        sal[int8] = strat._compute_sal_dict(pool, state)
-    guids = list(sal[False]["al_metric"])
-    a = np.asarray([sal[False]["al_metric"][g] for g in guids])
-    b = np.asarray([sal[True]["al_metric"][g] for g in guids])
-    ra = np.argsort(np.argsort(a))
-    rb = np.argsort(np.argsort(b))
-    rank_corr = float(np.corrcoef(ra, rb)[0, 1])
+    raw_ok = {}
+    for strategy_name in ("TRIANGULATION", "MPE", "HP", "BSB"):
+        for int8 in (False, True):
+            c = cfg.clone()
+            c.AL.STRATEGY = strategy_name
+            c.TPU.INT8_SCORING = int8
+            # RAW int8 behavior is the evidence; the per-strategy product
+            # gate (Engine.INT8_SAFE_STRATEGIES) is checked against it
+            # below, so bypass it here.
+            c.TPU.INT8_SCORING_FORCE = int8
+            strat = ActiveLearningStrategy(c)
+            pool = build_dataset(c, "train")
+            pool.resample_unlabeled_data()
+            sal[(strategy_name, int8)] = strat._compute_sal_dict(pool, state)
+        guids = list(sal[(strategy_name, False)]["al_metric"])
+        a = np.asarray(
+            [sal[(strategy_name, False)]["al_metric"][g] for g in guids]
+        )
+        b = np.asarray(
+            [sal[(strategy_name, True)]["al_metric"][g] for g in guids]
+        )
+        ra = np.argsort(np.argsort(a))
+        rb = np.argsort(np.argsort(b))
+        rank_corr = float(np.corrcoef(ra, rb)[0, 1])
+        k = max(len(guids) // 4, 1)
+        topk_f32 = set(np.argsort(-a)[:k].tolist())
+        topk_i8 = set(np.argsort(-b)[:k].tolist())
+        overlap = len(topk_f32 & topk_i8) / k
+        raw_ok[strategy_name] = rank_corr > 0.9 and overlap >= 0.75
+        print(
+            "int8(raw) vs float [%s] (%d frames): rank_corr %.3f  top-%d "
+            "overlap %.2f  %s"
+            % (strategy_name, len(guids), rank_corr, k, overlap,
+               "ok" if raw_ok[strategy_name] else "unsafe")
+        )
+
+    # CORESET selects by triangulated pose, not by a metric ranking:
+    # compare the actual selected sets over the float vs int8 poses.
     k = max(len(guids) // 4, 1)
-    topk_f32 = set(np.argsort(-a)[:k].tolist())
-    topk_i8 = set(np.argsort(-b)[:k].tolist())
-    overlap = len(topk_f32 & topk_i8) / k
-    mk_a = np.asarray([sal[False]["mkpe"][g] for g in guids])
-    mk_b = np.asarray([sal[True]["mkpe"][g] for g in guids])
-    mkpe_delta = float(np.median(np.abs(mk_a - mk_b)))
+    picks = {}
+    for int8 in (False, True):
+        poses = sal[("TRIANGULATION", int8)]["pred_3d_keypoints"]
+        cs = coreset_ops.CoreSet(poses, {}, 2)
+        picks[int8] = set(cs.select_batch(k))
+    coreset_overlap = len(picks[False] & picks[True]) / k
+    raw_ok["CORESET"] = coreset_overlap >= 0.75
     print(
-        "int8 scoring vs float (trained net, %d frames): rank_corr %.3f  "
-        "top-%d overlap %.2f  median per-frame |MKPE delta| %.3f"
-        % (len(guids), rank_corr, k, overlap, mkpe_delta)
+        "int8(raw) vs float [CORESET] top-%d selection overlap %.2f  %s"
+        % (k, coreset_overlap, "ok" if raw_ok["CORESET"] else "unsafe")
+    )
+
+    # The PRODUCT contract: every strategy the default runs int8 must have
+    # measured safe, and every measured-unsafe strategy must be gated to
+    # float (Engine.INT8_SAFE_STRATEGIES).
+    for name, ok in raw_ok.items():
+        gated_on = name in Engine.INT8_SAFE_STRATEGIES
+        if gated_on and not ok:
+            print("GATE VIOLATION: %s defaults to int8 but measured unsafe"
+                  % name)
+            good = False
+        if not gated_on and ok:
+            print("note: %s measured int8-safe here but stays float "
+                  "(conservative gate)" % name)
+
+    tri_f, tri_i = sal[("TRIANGULATION", False)], sal[("TRIANGULATION", True)]
+    mk_a = np.asarray([tri_f["mkpe"][g] for g in guids])
+    mk_b = np.asarray([tri_i["mkpe"][g] for g in guids])
+    print(
+        "median per-frame |MKPE delta| %.3f"
+        % float(np.median(np.abs(mk_a - mk_b)))
     )
 
     evals = {}
@@ -154,7 +206,6 @@ def _int8_compare(cfg, state) -> bool:
             evals[True]["mkpe"] - evals[False]["mkpe"],
         )
     )
-    good = rank_corr > 0.9 and overlap >= 0.75
     print("INT8 COMPARE %s" % ("PASSED" if good else "FAILED"))
     return good
 
