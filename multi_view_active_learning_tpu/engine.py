@@ -300,7 +300,17 @@ class Engine:
     def use_int8(self) -> bool:
         """Int8 backbone for the SCORING path (TPU.INT8_SCORING), gated to
         the strategies with measured selection-parity evidence (see
-        INT8_SAFE_STRATEGIES); MPE/BSB always score float."""
+        INT8_SAFE_STRATEGIES); MPE/BSB always score float.
+
+        CORESET with EMBEDDING features reports False outright: score_step
+        runs the float features-forward there regardless, so claiming int8
+        would only buy a never-used calibration compile and a wrong log
+        line."""
+        if (
+            self.cfg.AL.STRATEGY == "CORESET"
+            and self.cfg.AL.CORESET_FEATURES == "EMBEDDING"
+        ):
+            return False
         return (
             bool(self.cfg.TPU.INT8_SCORING)
             and self._int8_supported()
@@ -444,18 +454,11 @@ class Engine:
         embedding = None
         if want_embedding:
             # One shared forward yields heatmaps AND the pooled trunk
-            # embedding; the float path is used regardless of
-            # TPU.INT8_SCORING (k-center distances on requant-perturbed
-            # features would buy noise, not speed — the trunk dominates
-            # either way and runs exactly once here).
-            B0, V0 = images.shape[0], images.shape[1]
-            flat = self._flatten_normalize(images, use_int8=False)
-            out, feats = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                flat, train=False, return_features=True,
+            # embedding; use_int8 reports False for this combo (see the
+            # property) so no calibration is ever paid for it.
+            heatmaps, embedding = self._features_forward(
+                params, batch_stats, images
             )
-            heatmaps = out.reshape((B0, V0) + out.shape[1:])
-            embedding = jnp.mean(feats.reshape(B0, V0, -1), axis=1)
         else:
             heatmaps = self.forward(
                 params, batch_stats, images, int8_scales,
@@ -517,6 +520,25 @@ class Engine:
             out["embedding"] = embedding
         return out
 
+    def _features_forward(self, params, batch_stats, images):
+        """Float forward returning (heatmaps [B, V, h, w, K], view-averaged
+        pooled trunk embedding [B, C]) — the AL.CORESET_FEATURES=EMBEDDING
+        path, shared by score_step and embed_step so the candidate and
+        labeled-set embeddings can never diverge.
+
+        Always the standard float apply: k-center distances on
+        requant-perturbed features would buy noise, not speed, and the
+        return_features contract lives in the flax modules (so
+        TPU.PALLAS_HEAD's fused head does not apply here)."""
+        B, V = images.shape[0], images.shape[1]
+        flat = self._flatten_normalize(images, use_int8=False)
+        out, feats = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat, train=False, return_features=True,
+        )
+        heatmaps = out.reshape((B, V) + out.shape[1:])
+        return heatmaps, jnp.mean(feats.reshape(B, V, -1), axis=1)
+
     @partial(jax.jit, static_argnames=("self",))
     def embed_step(self, params, batch_stats, images) -> jnp.ndarray:
         """Pooled trunk embeddings: [B, V, H, W, 3] -> [B, C] float32
@@ -524,15 +546,8 @@ class Engine:
 
         The AL.CORESET_FEATURES=EMBEDDING feature extractor for frames the
         scoring sweep does not visit (the labeled set); unlabeled frames
-        get the same embedding from score_step's shared forward.  Always
-        the float trunk — see score_step."""
-        B, V = images.shape[0], images.shape[1]
-        flat = self._flatten_normalize(images, use_int8=False)
-        _, feats = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            flat, train=False, return_features=True,
-        )
-        return jnp.mean(feats.reshape(B, V, -1), axis=1)
+        get the same embedding from score_step's shared forward."""
+        return self._features_forward(params, batch_stats, images)[1]
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(

@@ -447,7 +447,9 @@ class ActiveLearningStrategy:
                 # space) instead of root-centered poses: candidates got
                 # theirs from score_step's shared forward; the labeled set
                 # needs one extra (small) sweep.
-                cand_emb = sal_dict.pop("embedding")
+                # Default {}: an exhausted pool scores zero batches, so the
+                # key never appears (and is never read below).
+                cand_emb = sal_dict.pop("embedding", {})
                 lab_emb = self._embed_labeled(train_pool, state)
                 features = np.stack(
                     [cand_emb[g] for g in coreset_candidates]
@@ -563,12 +565,20 @@ class ActiveLearningStrategy:
             # table in BENCH_NOTES round 4; MPE/BSB measured unsafe and
             # score float), and that evidence is synthetic — say so rather
             # than quantize silently; one config key returns to float.
-            self._logger.info(
-                "Pool scoring uses the int8 backbone (TPU.INT8_SCORING "
-                "default, %s is int8-safe per BENCH_NOTES round 4 — set "
-                "TPU.INT8_SCORING: false for bit-float scoring)."
-                % cfg.AL.STRATEGY
-            )
+            if cfg.AL.STRATEGY in Engine.INT8_SAFE_STRATEGIES:
+                self._logger.info(
+                    "Pool scoring uses the int8 backbone (TPU.INT8_SCORING "
+                    "default, %s is int8-safe per BENCH_NOTES round 4 — set "
+                    "TPU.INT8_SCORING: false for bit-float scoring)."
+                    % cfg.AL.STRATEGY
+                )
+            else:
+                self._logger.warning(
+                    "TPU.INT8_SCORING_FORCE overrides the per-strategy "
+                    "gate: %s measured int8-UNSAFE for selection "
+                    "(BENCH_NOTES round 4) — rankings may differ from "
+                    "float." % cfg.AL.STRATEGY
+                )
 
         def _dispatched():
             nonlocal key, int8_scales

@@ -12,11 +12,19 @@ from __future__ import annotations
 
 import json
 import time
+import weakref
 from typing import Sequence
 
 import numpy as np
 
 from . import storage
+
+
+def _close_quietly(f) -> None:
+    try:
+        f.close()
+    except Exception:
+        pass
 
 
 def _try_tb(log_dir: str):
@@ -32,12 +40,29 @@ class MetricsWriter:
     def __init__(self, log_dir: str):
         storage.makedirs(log_dir)
         self.log_dir = log_dir
-        self._jsonl = storage.open_file(
-            storage.join(log_dir, "metrics.jsonl"), "a"
-        )
+        if storage.is_remote(log_dir):
+            # Object-store backends (gcsfs, s3fs) do not support append, so
+            # each writer attachment streams a fresh uniquely-numbered
+            # shard ("w" mode); re-attaching to the same dir (the AL
+            # writer does, once per iteration) extends the record instead
+            # of truncating it.  Readers concatenate metrics-*.jsonl in
+            # name order.
+            existing = [
+                n for n in storage.listdir(log_dir)
+                if n.startswith("metrics-") and n.endswith(".jsonl")
+            ]
+            name = "metrics-%03d.jsonl" % len(existing)
+            self._jsonl = storage.open_file(storage.join(log_dir, name), "w")
+        else:
+            self._jsonl = storage.open_file(
+                storage.join(log_dir, "metrics.jsonl"), "a"
+            )
         # TB's SummaryWriter only writes local files; remote log dirs keep
         # the JSONL record (the product contract) and skip TB.
         self._tb = None if storage.is_remote(log_dir) else _try_tb(log_dir)
+        # Remote streams upload on close; the AL writer is long-lived and
+        # has no explicit close path, so flush it at GC/interpreter exit.
+        self._finalizer = weakref.finalize(self, _close_quietly, self._jsonl)
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._write({"tag": tag, "value": float(value), "step": int(step)})
@@ -143,6 +168,7 @@ class MetricsWriter:
         self._jsonl.flush()
 
     def close(self) -> None:
-        self._jsonl.close()
+        self._finalizer.detach()
+        _close_quietly(self._jsonl)
         if self._tb:
             self._tb.close()

@@ -31,9 +31,11 @@ _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
 def is_remote(path) -> bool:
-    """True when `path` is a URL-style path that needs an fsspec backend."""
-    path = str(path)
-    return bool(_SCHEME_RE.match(path)) and not path.startswith("file://")
+    """True when `path` is a URL-style path that dispatches to fsspec.
+
+    ``file://`` counts: fsspec resolves it natively, whereas the os
+    fast path would treat the whole URI as a literal relative name."""
+    return bool(_SCHEME_RE.match(str(path)))
 
 
 def _fs(path):
@@ -100,7 +102,9 @@ def listdir(path):
 
 
 def copy(src, dst) -> None:
-    """Copy one file, across backends if needed; parent dirs are created."""
+    """Copy one file, across backends if needed; parent dirs are created.
+    Streams in chunks — checkpoint shards must not be materialized whole
+    in host RAM (orbax param files run to hundreds of MB)."""
     if not is_remote(src) and not is_remote(dst):
         parent = os.path.dirname(str(dst))
         if parent:
@@ -111,8 +115,16 @@ def copy(src, dst) -> None:
         parent = os.path.dirname(str(dst))
         if parent:
             os.makedirs(parent, exist_ok=True)
-    with open_file(dst, "wb") as f:
-        f.write(read_bytes(src))
+        fs, spath = _fs(src)
+        fs.get_file(spath, str(dst))
+        return
+    if not is_remote(src):
+        fs, dpath = _fs(dst)
+        fs.makedirs(fs._parent(dpath), exist_ok=True)
+        fs.put_file(str(src), dpath)
+        return
+    with open_file(src, "rb") as r, open_file(dst, "wb") as w:
+        shutil.copyfileobj(r, w, 1024 * 1024)
 
 
 def copytree(src, dst) -> None:

@@ -259,3 +259,15 @@ def test_int8_default_gated_per_strategy():
         assert strategy not in Engine.INT8_SAFE_STRATEGIES
         # ...unless the user forces the bypass explicitly.
         assert engine(strategy, force=True).use_int8, strategy
+
+    # CORESET + EMBEDDING features runs the float features-forward in
+    # score_step regardless, so use_int8 must report False (else the
+    # sweep pays a never-used int8 calibration compile).
+    cfg = get_default_configs()
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.AL.STRATEGY = "CORESET"
+    cfg.AL.CORESET_FEATURES = "EMBEDDING"
+    assert not Engine(cfg).use_int8
+    cfg.AL.CORESET_FEATURES = "POSE"
+    assert Engine(cfg).use_int8

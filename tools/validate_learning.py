@@ -156,9 +156,18 @@ def _int8_compare(cfg, state) -> bool:
     k = max(len(guids) // 4, 1)
     picks = {}
     for int8 in (False, True):
-        poses = sal[("TRIANGULATION", int8)]["pred_3d_keypoints"]
+        # Same non-finite filter the product applies (strategy.py CORESET
+        # branch): one NaN triangulation would win every k-center argmax
+        # in BOTH arms and make the overlap spuriously perfect.
+        poses = {
+            g: np.asarray(kp)
+            for g, kp in sal[("TRIANGULATION", int8)][
+                "pred_3d_keypoints"
+            ].items()
+            if np.isfinite(kp).all()
+        }
         cs = coreset_ops.CoreSet(poses, {}, 2)
-        picks[int8] = set(cs.select_batch(k))
+        picks[int8] = set(cs.select_batch(min(k, len(poses))))
     coreset_overlap = len(picks[False] & picks[True]) / k
     raw_ok["CORESET"] = coreset_overlap >= 0.75
     print(
