@@ -377,7 +377,12 @@ class Config:
         return yaml.safe_dump(dataclasses.asdict(self), sort_keys=False)
 
     def merge_from_file(self, path: str) -> None:
-        with open(path) as f:
+        # Via utils/storage: config files ride the same pluggable IO as
+        # datasets and guid logs (a gs://-hosted experiment dir can hold
+        # its own config).
+        from .utils import storage
+
+        with storage.open_file(path) as f:
             overrides = yaml.safe_load(f) or {}
         _merge(self, overrides, path=[])
 
