@@ -302,13 +302,17 @@ class Engine:
         the strategies with measured selection-parity evidence (see
         INT8_SAFE_STRATEGIES); MPE/BSB always score float.
 
-        CORESET with EMBEDDING features reports False outright: score_step
-        runs the float features-forward there regardless, so claiming int8
-        would only buy a never-used calibration compile and a wrong log
-        line."""
+        CORESET with EMBEDDING features reports False (unless explicitly
+        forced): score_step runs the float features-forward there
+        regardless, so claiming int8 would only buy a never-used
+        calibration compile and a wrong log line.  TPU.INT8_SCORING_FORCE
+        overrides every gate — it is how the evidence harness measures raw
+        behavior and how non-scoring surfaces (serving export) request the
+        int8 backbone regardless of the AL strategy in the config."""
         if (
             self.cfg.AL.STRATEGY == "CORESET"
             and self.cfg.AL.CORESET_FEATURES == "EMBEDDING"
+            and not self.cfg.TPU.INT8_SCORING_FORCE
         ):
             return False
         return (

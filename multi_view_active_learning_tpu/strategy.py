@@ -424,40 +424,71 @@ class ActiveLearningStrategy:
             if not math.isnan(v)
         }
         if cfg.AL.STRATEGY == "CORESET":
-            # Frames whose triangulation failed (non-finite keypoints) are
-            # excluded: a NaN feature row wins every jnp.argmax and then
-            # poisons the min-distance vector, so k-center-greedy would
-            # return the same frame n times (the reference's sklearn
-            # pairwise_distances simply rejects NaN input).  al_metric is
-            # NaN-filtered the same way above.
-            coreset_candidates = OrderedDict(
-                (guid, kp)
-                for guid, kp in sal_dict["pred_3d_keypoints"].items()
-                if np.isfinite(kp).all()
-            )
+            # Frames with a non-finite FEATURE row are excluded — in the
+            # feature space k-center actually runs in: a NaN row wins
+            # every jnp.argmax and then poisons the min-distance vector,
+            # so k-center-greedy would return the same frame n times (the
+            # reference's sklearn pairwise_distances simply rejects NaN
+            # input).  POSE features that means the triangulated
+            # keypoints; EMBEDDING features means the pooled trunk
+            # embedding (a frame whose triangulation diverged but whose
+            # embedding is finite stays a valid candidate there).
+            # al_metric is NaN-filtered the same way above.
+            use_embedding = cfg.AL.CORESET_FEATURES == "EMBEDDING"
+            # Default {}: an exhausted pool scores zero batches, so the
+            # key never appears (and is never read below).
+            cand_emb = sal_dict.pop("embedding", {}) if use_embedding else {}
+            if use_embedding:
+                coreset_candidates = OrderedDict(
+                    (guid, kp)
+                    for guid, kp in sal_dict["pred_3d_keypoints"].items()
+                    if guid in cand_emb and np.isfinite(cand_emb[guid]).all()
+                )
+            else:
+                coreset_candidates = OrderedDict(
+                    (guid, kp)
+                    for guid, kp in sal_dict["pred_3d_keypoints"].items()
+                    if np.isfinite(kp).all()
+                )
             dropped = len(sal_dict["pred_3d_keypoints"]) - len(coreset_candidates)
             if dropped:
                 self._logger.warning(
-                    "CORESET: dropped %d frames with non-finite triangulated "
-                    "keypoints from the candidate pool." % dropped
+                    "CORESET: dropped %d frames with non-finite %s from the "
+                    "candidate pool."
+                    % (dropped,
+                       "embeddings" if use_embedding
+                       else "triangulated keypoints")
                 )
             features = None
-            if cfg.AL.CORESET_FEATURES == "EMBEDDING":
+            al_dict = train_pool.get_al_dict_for_coreset()
+            if use_embedding:
                 # Pooled CNN trunk embeddings (the coreset paper's feature
                 # space) instead of root-centered poses: candidates got
                 # theirs from score_step's shared forward; the labeled set
-                # needs one extra (small) sweep.
-                # Default {}: an exhausted pool scores zero batches, so the
-                # key never appears (and is never read below).
-                cand_emb = sal_dict.pop("embedding", {})
+                # needs one extra (small) sweep.  Non-finite labeled rows
+                # are dropped from the center set (same NaN hazard), and
+                # al_dict is filtered in step so CoreSet's row count check
+                # holds.
                 lab_emb = self._embed_labeled(train_pool, state)
+                lab_idx = [
+                    i for i, f in enumerate(train_pool.labeled_data)
+                    if np.isfinite(lab_emb[f["guid"]]).all()
+                ]
+                if len(lab_idx) != len(train_pool.labeled_data):
+                    self._logger.warning(
+                        "CORESET: dropped %d labeled frames with non-finite "
+                        "embeddings from the center set."
+                        % (len(train_pool.labeled_data) - len(lab_idx))
+                    )
+                al_dict = OrderedDict((i, al_dict[i]) for i in lab_idx)
                 features = np.stack(
                     [cand_emb[g] for g in coreset_candidates]
-                    + [lab_emb[f["guid"]] for f in train_pool.labeled_data]
+                    + [lab_emb[train_pool.labeled_data[i]["guid"]]
+                       for i in lab_idx]
                 )
             cs = coreset_ops.CoreSet(
                 coreset_candidates,
-                train_pool.get_al_dict_for_coreset(),
+                al_dict,
                 self.joint_root_index,
                 features=features,
             )

@@ -168,7 +168,12 @@ class MetricsWriter:
         self._jsonl.flush()
 
     def close(self) -> None:
+        # Explicit close must PROPAGATE: for remote shards close() is the
+        # upload, and a swallowed failure here would silently discard the
+        # whole metrics record.  Only the GC/exit finalizer is quiet.
         self._finalizer.detach()
-        _close_quietly(self._jsonl)
-        if self._tb:
-            self._tb.close()
+        try:
+            self._jsonl.close()
+        finally:
+            if self._tb:
+                self._tb.close()

@@ -95,9 +95,15 @@ def listdir(path):
     if not is_remote(path):
         return os.listdir(path)
     fs, fpath = _fs(path)
+    try:
+        entries = fs.ls(fpath, detail=False)
+    except FileNotFoundError:
+        # Object stores have no directory objects: a prefix nothing has
+        # been written under yet "does not exist" even right after
+        # makedirs (a no-op on gcsfs/s3fs).  Empty is the truthful answer.
+        return []
     return sorted(
-        name.rstrip("/").rsplit("/", 1)[-1]
-        for name in fs.ls(fpath, detail=False)
+        name.rstrip("/").rsplit("/", 1)[-1] for name in entries
     )
 
 

@@ -269,5 +269,11 @@ def test_int8_default_gated_per_strategy():
     cfg.AL.STRATEGY = "CORESET"
     cfg.AL.CORESET_FEATURES = "EMBEDDING"
     assert not Engine(cfg).use_int8
+    # ...but INT8_SCORING_FORCE overrides every gate — it is how
+    # non-scoring surfaces (tools/export_serving.py --int8-calib) request
+    # the int8 backbone regardless of the config's AL strategy.
+    cfg.TPU.INT8_SCORING_FORCE = True
+    assert Engine(cfg).use_int8
+    cfg.TPU.INT8_SCORING_FORCE = False
     cfg.AL.CORESET_FEATURES = "POSE"
     assert Engine(cfg).use_int8

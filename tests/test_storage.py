@@ -199,3 +199,63 @@ def test_metrics_writer_remote_log_dir_shards():
         with storage.open_file(storage.join(log_dir, name)) as f:
             records += [json.loads(line) for line in f if line.strip()]
     assert [r["tag"] for r in records] == ["a", "b"]
+
+
+def test_listdir_missing_remote_prefix_is_empty():
+    """Object stores have no directory objects: a prefix nothing has been
+    written under "does not exist" even right after makedirs (a no-op on
+    gcsfs/s3fs), and fsspec's ls raises FileNotFoundError.  Empty is the
+    truthful listing."""
+    pytest.importorskip("fsspec")
+    assert storage.listdir("memory://listdir/never_created") == []
+
+
+def test_metrics_writer_fresh_remote_prefix(monkeypatch):
+    """First writer attach to a brand-new remote log dir must survive the
+    shard scan (regression: gcsfs-style backends crashed in __init__ via
+    listdir because makedirs cannot materialize a directory object there;
+    memory:// CAN, so emulate the no-op)."""
+    pytest.importorskip("fsspec")
+    from multi_view_active_learning_tpu.utils.metrics_writer import (
+        MetricsWriter,
+    )
+
+    monkeypatch.setattr(storage, "makedirs", lambda path: None)
+    log_dir = "memory://mw/fresh_prefix_never_touched"
+    w = MetricsWriter(log_dir)
+    w.add_scalar("a", 1.0, 0)
+    w.close()
+    assert [n for n in storage.listdir(log_dir) if n.endswith(".jsonl")] == [
+        "metrics-000.jsonl"
+    ]
+
+
+def test_metrics_writer_close_propagates_upload_failure():
+    """On remote backends close() IS the upload (fsspec buffered writers
+    flush on close) — the explicit close path must PROPAGATE a failed
+    upload, never swallow it; only the GC/exit finalizer is quiet."""
+    pytest.importorskip("fsspec")
+    from multi_view_active_learning_tpu.utils.metrics_writer import (
+        MetricsWriter,
+    )
+
+    class Boom(Exception):
+        pass
+
+    class FailingClose:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def write(self, *a):
+            return self._inner.write(*a)
+
+        def flush(self):
+            self._inner.flush()
+
+        def close(self):
+            raise Boom()
+
+    w = MetricsWriter("memory://mw/close_prop")
+    w._jsonl = FailingClose(w._jsonl)
+    with pytest.raises(Boom):
+        w.close()

@@ -132,6 +132,38 @@ def test_coreset_embedding_features_avoid_duplicates(tree, tmp_path):
     assert "embedding" not in sal_dict  # popped before any JSON dump
 
 
+def test_coreset_embedding_candidacy_ignores_triangulation_nans(tree, tmp_path):
+    """EMBEDDING-coreset candidacy filters in the feature space k-center
+    actually runs in: a frame whose TRIANGULATION diverged (non-finite
+    keypoints) but whose pooled embedding is finite stays a valid
+    candidate (regression: the finiteness filter used to guard the unused
+    pose array and over-dropped such frames)."""
+    cfg = _tiny_cfg(tree, str(tmp_path))
+    cfg.EXPR_TYPE = "AL"
+    cfg.AL.STRATEGY = "CORESET"
+    cfg.AL.CORESET_FEATURES = "EMBEDDING"
+    strategy = ActiveLearningStrategy(cfg)
+    pool = build_dataset(cfg, "train")
+    guids = list(pool.unlabeled_data)
+    pool.label_by_frame_guids([guids[0]])
+    state = strategy.new_state()
+
+    poisoned = guids[1]
+    real_compute = strategy._compute_sal_dict
+
+    def poisoning(*args, **kwargs):
+        sal = real_compute(*args, **kwargs)
+        kp = np.asarray(sal["pred_3d_keypoints"][poisoned], dtype=np.float64)
+        sal["pred_3d_keypoints"][poisoned] = np.full_like(kp, np.nan)
+        return sal
+
+    strategy._compute_sal_dict = poisoning
+    n = len(pool.unlabeled_data)
+    al_guids, _, _ = strategy._sal_pseudo_labeling(pool, n, 0, state, 1)
+    assert poisoned in al_guids  # selecting ALL candidates must include it
+    assert len(al_guids) == n
+
+
 def test_mpe_strategy_scoring(tree, tmp_path):
     cfg = _tiny_cfg(tree, str(tmp_path))
     cfg.EXPR_TYPE = "AL"

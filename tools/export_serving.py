@@ -70,10 +70,13 @@ def main():
     if args.int8_calib:
         # --int8-calib is an explicit request: force the int8 path on even
         # for model families where the SCORING default is float (HRNet,
-        # TPU.INT8_SCORING_HRNET) — a frozen artifact's backend may differ
-        # from the backend those defaults were measured on.
+        # TPU.INT8_SCORING_HRNET) and for AL strategies the per-strategy
+        # scoring gate keeps float (MPE/BSB, EMBEDDING coreset) — the gate
+        # protects selection parity, which a frozen serving artifact never
+        # runs.  INT8_SCORING_FORCE is the documented bypass.
         cfg.TPU.INT8_SCORING = True
         cfg.TPU.INT8_SCORING_HRNET = True
+        cfg.TPU.INT8_SCORING_FORCE = True
 
     engine = Engine(cfg)
     state = engine.init_state(

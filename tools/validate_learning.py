@@ -154,25 +154,36 @@ def _int8_compare(cfg, state) -> bool:
     # CORESET selects by triangulated pose, not by a metric ranking:
     # compare the actual selected sets over the float vs int8 poses.
     k = max(len(guids) // 4, 1)
-    picks = {}
-    for int8 in (False, True):
-        # Same non-finite filter the product applies (strategy.py CORESET
-        # branch): one NaN triangulation would win every k-center argmax
-        # in BOTH arms and make the overlap spuriously perfect.
-        poses = {
+    # Same non-finite filter the product applies (strategy.py CORESET
+    # branch): one NaN triangulation would win every k-center argmax in
+    # BOTH arms and make the overlap spuriously perfect.  Both arms select
+    # from the guids finite in BOTH — a frame only one arm can consider
+    # would depress the overlap with no int8 signal in it — and the
+    # denominator is the number actually selected, not k, so small or
+    # partially-degenerate pools cannot spuriously trip the gate check.
+    finite = {
+        int8: {
             g: np.asarray(kp)
             for g, kp in sal[("TRIANGULATION", int8)][
                 "pred_3d_keypoints"
             ].items()
             if np.isfinite(kp).all()
         }
-        cs = coreset_ops.CoreSet(poses, {}, 2)
-        picks[int8] = set(cs.select_batch(min(k, len(poses))))
-    coreset_overlap = len(picks[False] & picks[True]) / k
+        for int8 in (False, True)
+    }
+    common = [g for g in finite[False] if g in finite[True]]
+    n_sel = min(k, len(common))
+    picks = {}
+    for int8 in (False, True):
+        cs = coreset_ops.CoreSet(
+            {g: finite[int8][g] for g in common}, {}, 2
+        )
+        picks[int8] = set(cs.select_batch(n_sel))
+    coreset_overlap = len(picks[False] & picks[True]) / max(n_sel, 1)
     raw_ok["CORESET"] = coreset_overlap >= 0.75
     print(
         "int8(raw) vs float [CORESET] top-%d selection overlap %.2f  %s"
-        % (k, coreset_overlap, "ok" if raw_ok["CORESET"] else "unsafe")
+        % (n_sel, coreset_overlap, "ok" if raw_ok["CORESET"] else "unsafe")
     )
 
     # The PRODUCT contract: every strategy the default runs int8 must have
