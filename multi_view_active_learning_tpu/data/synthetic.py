@@ -57,7 +57,53 @@ def _skeleton_walk(rng, num_frames: int, num_joints: int, scale: float):
     return frames
 
 
-def _render_view(kp2d: np.ndarray, rng, cam_index: int = 0) -> np.ndarray:
+def _joint_color(k: int) -> np.ndarray:
+    return np.array(
+        [80 + (k * 37) % 175, 80 + (k * 73) % 175, 80 + (k * 101) % 175],
+        np.uint8,
+    )
+
+
+def _draw_disc(img, ys, xs, x: float, y: float, color: np.ndarray) -> None:
+    if not (0 <= x < FULL_W and 0 <= y < FULL_H):
+        return
+    d2 = (xs - x) ** 2 + (ys - y) ** 2
+    img[d2 < 16.0] = color
+
+
+def _draw_segment(img, a, b, width: float, color: np.ndarray) -> None:
+    """Rasterize a line segment of the given width (bbox-limited distance
+    field, so per-bone cost is O(segment area) not O(image area))."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    lo = np.floor(np.minimum(a, b) - width).astype(int)
+    hi = np.ceil(np.maximum(a, b) + width).astype(int) + 1
+    x0, y0 = max(lo[0], 0), max(lo[1], 0)
+    x1, y1 = min(hi[0], FULL_W), min(hi[1], FULL_H)
+    if x0 >= x1 or y0 >= y1:
+        return
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    d = b - a
+    denom = float(d @ d)
+    if denom < 1e-9:
+        t = np.zeros_like(xs, np.float64)
+    else:
+        t = ((xs - a[0]) * d[0] + (ys - a[1]) * d[1]) / denom
+    t = np.clip(t, 0.0, 1.0)
+    px = a[0] + t * d[0]
+    py = a[1] + t * d[1]
+    mask = (xs - px) ** 2 + (ys - py) ** 2 < (width / 2.0) ** 2
+    region = img[y0:y1, x0:x1]
+    region[mask] = color
+
+
+def _render_view(
+    kp2d: np.ndarray,
+    rng,
+    cam_index: int = 0,
+    bones=None,
+    distractors=None,
+) -> np.ndarray:
     """Bright discs at projected joints over a static per-camera background.
 
     The background is deterministic per camera (a seeded texture), NOT
@@ -65,23 +111,29 @@ def _render_view(kp2d: np.ndarray, rng, cam_index: int = 0) -> np.ndarray:
     — a model can key heatmaps off the unique noise pattern of each training
     frame and never learn the discs, making validation metrics on the
     synthetic set meaningless.
+
+    `bones`: optional (i, j) joint-index pairs rendered as wide gray
+    segments UNDER the discs — the context cue the heterogeneous pool
+    (generate_heterogeneous_tree) uses to make real joints distinguishable
+    from distractor discs.  `distractors`: optional (x, y, joint_index)
+    triples rendered as discs pointwise IDENTICAL to the real joint discs
+    (same radius, same palette color) but detached from the skeleton — a
+    color-template detector cannot tell them from real joints; only the
+    bone-attachment context can.
     """
     bg_rng = np.random.default_rng(1000 + cam_index)
     base = bg_rng.integers(10, 60, size=(8, 8, 3)).astype(np.uint8)
     img = np.asarray(
         Image.fromarray(base).resize((FULL_W, FULL_H), Image.BILINEAR)
     ).copy()
+    bone_color = np.array([150, 150, 150], np.uint8)
+    for i, j in bones or ():
+        _draw_segment(img, kp2d[i], kp2d[j], 5.0, bone_color)
     ys, xs = np.mgrid[0:FULL_H, 0:FULL_W]
+    for x, y, k in distractors or ():
+        _draw_disc(img, ys, xs, x, y, _joint_color(k))
     for k, (x, y) in enumerate(kp2d):
-        if not (0 <= x < FULL_W and 0 <= y < FULL_H):
-            continue
-        d2 = (xs - x) ** 2 + (ys - y) ** 2
-        mask = d2 < 16.0
-        color = np.array(
-            [80 + (k * 37) % 175, 80 + (k * 73) % 175, 80 + (k * 101) % 175],
-            np.uint8,
-        )
-        img[mask] = color
+        _draw_disc(img, ys, xs, x, y, _joint_color(k))
     return img
 
 
@@ -163,6 +215,197 @@ def generate_panoptic_tree(
     with open(os.path.join(root, "split.json"), "w") as f:
         json.dump(split, f)
     return root
+
+
+def _chain_bones(num_joints: int):
+    """Fixed bone topology: a joint chain plus one cross-link, so every
+    joint has at least one attached bone."""
+    return [(i, i + 1) for i in range(num_joints - 1)] + [
+        (0, (2 * num_joints) // 3)
+    ]
+
+
+def generate_heterogeneous_tree(
+    root: str,
+    num_common: int = 80,
+    num_hard: int = 16,
+    num_hard_clusters: int = 4,
+    num_val_common: int = 10,
+    num_val_hard: int = 10,
+    num_joints: int = 19,
+    num_cameras: int = 4,
+    num_distractors: int = 12,
+    sample_rate: int = 25,
+    seed: int = 0,
+    image_quality: int = 90,
+) -> str:
+    """Panoptic-schema tree with genuinely heterogeneous frame difficulty,
+    for end-to-end AL-vs-RANDOM experiments (tools/validate_al_gain.py).
+
+    Every frame renders the skeleton's BONES (wide gray segments) under the
+    joint discs, so bone-attachment is a stationary context cue.  Two frame
+    populations:
+
+      * COMMON frames (one long correlated random walk around one base
+        pose): discs + bones only.  A color-template detector solves them,
+        so a model trained on common frames alone takes that shortcut.
+      * HARD frames (`num_hard_clusters` separate walks around offset base
+        poses): additionally contain `num_distractors` distractor discs per
+        view — pointwise identical to real joint discs (same radius, same
+        per-joint palette color), placed uniformly inside the crop box,
+        detached from the skeleton, INDEPENDENTLY per view.  A shortcut
+        detector is confused per view at random, which (a) corrupts
+        cross-view consistency (high TRIANGULATION metric), (b) produces
+        multi-peak heatmaps (high MPE), and (c) yields scattered
+        triangulated poses (CORESET diversity).  The confusion is
+        epistemic, not aleatoric: a model trained WITH hard frames learns
+        to require bone attachment and resolves every view.
+
+    The val/test split mixes held-out common-style and hard-style walks so
+    the learning curve reflects both.  A `meta.json` sidecar at the tree
+    root records the hard/common train guid lists for selection-rate
+    diagnostics.
+
+    Matches the label/boxes/split schemas of
+    reference/dataset/panoptic_dataset.py:21-87 like generate_panoptic_tree.
+    """
+    rng = np.random.default_rng(seed)
+    cameras = {
+        "00_%02d" % i: _ring_camera(i, num_cameras, radius=170.0, focal=300.0)
+        for i in range(num_cameras)
+    }
+    cam_names = sorted(cameras.keys())
+    cam_objs = {
+        name: geometry.Camera(
+            cameras[name]["R"], cameras[name]["t"], cameras[name]["K"],
+            cameras[name]["dist"],
+        )
+        for name in cam_names
+    }
+    bones = _chain_bones(num_joints)
+    labels: Dict = {"train": {}, "val": {}}
+    boxes: Dict = {"train": {}, "val": {}}
+    split: Dict = {
+        "train": {},
+        "val": {},
+        "test": {},
+        "cameras": {"train": cam_names, "val": cam_names, "test": cam_names},
+    }
+    meta = {"hard_guids": [], "common_guids": [], "val_hard_guids": []}
+
+    def guid_of(pose_name: str, frame_id: int) -> str:
+        return "%s%s-%d" % (pose_name[:6], pose_name[-1], frame_id)
+
+    def write_sequence(split_name, pose_name, skels, hard: bool):
+        labels[split_name][pose_name] = {"cameras": cameras}
+        boxes[split_name][pose_name] = {}
+        split[split_name][pose_name] = [[0, len(skels) * sample_rate]]
+        guids = []
+        for i, skel in enumerate(skels):
+            frame_id = i * sample_rate
+            guids.append(guid_of(pose_name, frame_id))
+            labels[split_name][pose_name][str(frame_id)] = np.vstack(
+                [skel.T, np.ones((1, num_joints))]
+            ).tolist()
+            boxes[split_name][pose_name][str(frame_id)] = {}
+            for cam_name in cam_names:
+                kp2d = cam_objs[cam_name].project(skel)
+                left, top = kp2d.min(axis=0) - 12
+                right, bottom = kp2d.max(axis=0) + 12
+                boxes[split_name][pose_name][str(frame_id)][cam_name] = [
+                    int(left), int(top), int(right), int(bottom),
+                ]
+                distractors = []
+                if hard:
+                    # Uniform inside the crop box, >= 20 px from every real
+                    # joint (a distractor overlapping a real disc is
+                    # harmless but ugly; near-coincident ones would blunt
+                    # the confusion signal).
+                    for _ in range(num_distractors):
+                        for _try in range(50):
+                            dx = rng.uniform(max(left, 0), min(right, FULL_W))
+                            dy = rng.uniform(max(top, 0), min(bottom, FULL_H))
+                            if np.min(
+                                (kp2d[:, 0] - dx) ** 2 + (kp2d[:, 1] - dy) ** 2
+                            ) >= 400.0:
+                                distractors.append(
+                                    (dx, dy, int(rng.integers(num_joints)))
+                                )
+                                break
+                img_dir = os.path.join(root, pose_name, "hdImgs", cam_name)
+                os.makedirs(img_dir, exist_ok=True)
+                img = _render_view(
+                    kp2d,
+                    rng,
+                    cam_index=cam_names.index(cam_name),
+                    bones=bones,
+                    distractors=distractors,
+                )
+                Image.fromarray(img).save(
+                    os.path.join(img_dir, "%s_%08d.jpg" % (cam_name, frame_id)),
+                    quality=image_quality,
+                )
+        return guids
+
+    # Train: one correlated common walk + several offset hard clusters.
+    common_base = rng.normal(scale=18.0, size=(num_joints, 3))
+    meta["common_guids"] = write_sequence(
+        "train", "500000_pose0",
+        _walk_from_base(rng, common_base, num_common), hard=False,
+    )
+    per_cluster = max(num_hard // max(num_hard_clusters, 1), 1)
+    for c in range(num_hard_clusters):
+        base = (
+            rng.normal(scale=18.0, size=(num_joints, 3))
+            + rng.normal(scale=25.0, size=(1, 3))
+        )
+        n = per_cluster if c < num_hard_clusters - 1 else (
+            num_hard - per_cluster * (num_hard_clusters - 1)
+        )
+        meta["hard_guids"] += write_sequence(
+            "train", "6000%02d_pose0" % c,
+            _walk_from_base(rng, base, n), hard=True,
+        )
+
+    # Val/test: held-out walks, half common-style, half hard-style.
+    write_sequence(
+        "val", "700000_pose0",
+        _walk_from_base(
+            rng, rng.normal(scale=18.0, size=(num_joints, 3)), num_val_common
+        ),
+        hard=False,
+    )
+    meta["val_hard_guids"] = write_sequence(
+        "val", "710000_pose0",
+        _walk_from_base(
+            rng, rng.normal(scale=18.0, size=(num_joints, 3)), num_val_hard
+        ),
+        hard=True,
+    )
+    split["test"] = dict(split["val"])
+
+    with open(os.path.join(root, "labels.json"), "w") as f:
+        json.dump(labels, f)
+    with open(os.path.join(root, "boxes.json"), "w") as f:
+        json.dump(boxes, f)
+    with open(os.path.join(root, "split.json"), "w") as f:
+        json.dump(split, f)
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+def _walk_from_base(rng, base: np.ndarray, num_frames: int):
+    """Correlated random walk around a GIVEN base skeleton (the
+    _skeleton_walk dynamics with an explicit anchor)."""
+    frames = []
+    cur = base
+    for _ in range(num_frames):
+        cur = 0.9 * cur + 0.1 * base + rng.normal(
+            scale=18.0 * 0.08, size=cur.shape
+        )
+        frames.append(cur.copy())
+    return frames
 
 
 def generate_ih26m_tree(

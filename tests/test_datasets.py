@@ -469,3 +469,57 @@ def test_frame_loader_warm_sweep_skips_workers(cfg):
             np.testing.assert_array_equal(a["images"], b["images"])
     finally:
         loader.close()
+
+
+def test_heterogeneous_tree_schema_and_distractors(tmp_path):
+    """generate_heterogeneous_tree: loads through the panoptic indexer,
+    meta.json partitions the train pool, and hard views carry extra
+    (distractor) discs that common views lack — the confusion mechanism
+    the AL-vs-RANDOM experiment (tools/validate_al_gain.py) rests on."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_heterogeneous_tree,
+    )
+
+    root = generate_heterogeneous_tree(
+        str(tmp_path / "het"), num_common=5, num_hard=4, num_hard_clusters=2,
+        num_val_common=2, num_val_hard=2, num_joints=NUM_JOINTS,
+        num_cameras=2, num_distractors=8,
+    )
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    assert len(meta["common_guids"]) == 5
+    assert len(meta["hard_guids"]) == 4
+    assert len(meta["val_hard_guids"]) == 2
+
+    c = get_default_configs()
+    c.DATA.TYPE = "synthetic"
+    c.DATA.SYNTHETIC_ROOT = root
+    c.DATA.NUM_JOINTS = NUM_JOINTS
+    train = build_dataset(c, "train")
+    assert set(meta["common_guids"]) | set(meta["hard_guids"]) == set(
+        train.unlabeled_data
+    )
+    val = build_dataset(c, "val")
+    assert set(meta["val_hard_guids"]) <= set(val.unlabeled_data)
+    # test split reuses the val poses (panoptic_dataset.py:31 semantics)
+    test = build_dataset(c, "test")
+    assert set(test.unlabeled_data) == set(val.unlabeled_data)
+
+    def bright_px(frame):
+        view = next(iter(frame["views"].values()))
+        img = np.asarray(Image.open(view["path"]))
+        return int((img.max(axis=-1) > 120).sum())
+
+    hard_px = np.mean(
+        [bright_px(train.unlabeled_data[g]) for g in meta["hard_guids"]]
+    )
+    common_px = np.mean(
+        [bright_px(train.unlabeled_data[g]) for g in meta["common_guids"]]
+    )
+    # ~8 extra discs per hard view: materially more bright pixels.
+    assert hard_px > common_px + 200
