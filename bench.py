@@ -42,6 +42,11 @@ NUM_VIEWS = int(os.environ.get("BENCH_VIEWS", "31"))
 NUM_JOINTS = 19
 IMG = 256
 MODEL = os.environ.get("BENCH_MODEL", "POSE_RESNET")  # or HRNET
+# AL metric computed in the scoring step (TRIANGULATION | MPE | HP | BSB).
+STRATEGY = os.environ.get("BENCH_STRATEGY", "TRIANGULATION")
+# Mixed-precision float tail for the int8 backbone
+# (TPU.INT8_FLOAT_TAIL_STAGES; the MPE/BSB compromise).
+FLOAT_TAIL = int(os.environ.get("BENCH_FLOAT_TAIL", "0"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 # 50-step default: the tunneled backend shows transient slowdowns right
 # after executable setup; longer timed windows are markedly more stable
@@ -61,10 +66,15 @@ def _apply_int8_env(cfg):
     HRNet float — TPU.INT8_SCORING_HRNET measured a net loss, BENCH_NOTES
     round 3); "1"/"0" force int8/float for whichever model is benched."""
     v = os.environ.get("BENCH_INT8", "")
+    cfg.TPU.INT8_FLOAT_TAIL_STAGES = FLOAT_TAIL
     if v == "":
         return
-    cfg.TPU.INT8_SCORING = v == "1"
-    cfg.TPU.INT8_SCORING_HRNET = v == "1"
+    # "force" bypasses the per-strategy selection-safety gate
+    # (Engine.INT8_SAFE_STRATEGIES) so raw int8/mixed throughput of any
+    # strategy can be measured.
+    cfg.TPU.INT8_SCORING = v in ("1", "force")
+    cfg.TPU.INT8_SCORING_HRNET = v in ("1", "force")
+    cfg.TPU.INT8_SCORING_FORCE = v == "force"
 
 
 def pool_mode():
@@ -99,7 +109,7 @@ def pool_mode():
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 50
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     _apply_int8_env(cfg)
-    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.STRATEGY = STRATEGY
     cfg.AL.INFERENCE.BATCH_SIZE = BATCH
     cfg.AL.INFERENCE.NUM_WORKERS = POOL_WORKERS
     cfg.LOG_DIR = "/tmp/mval_bench_pool_logs"
@@ -158,6 +168,7 @@ def main():
     _apply_int8_env(cfg)
     # Fused int8 Pallas phase-deconv head (TPU.INT8_DECONV).
     cfg.TPU.INT8_DECONV = os.environ.get("BENCH_INT8_DECONV", "0") == "1"
+    cfg.AL.STRATEGY = STRATEGY
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
 
@@ -190,7 +201,7 @@ def main():
     def score(images_in):
         return engine.score_step(
             state.params, state.batch_stats, images_in, proj, valid, pairs, gt,
-            key, al_strategy="TRIANGULATION", int8_scales=int8_scales,
+            key, al_strategy=STRATEGY, int8_scales=int8_scales,
         )
 
     # Warm up: compile, then run chained steps until throughput PLATEAUS.

@@ -315,6 +315,14 @@ class TPUConfig:
     # (133-141 fps int8 vs 145 float, B=4 x 31 views, BENCH_NOTES round 3).
     # PoseResNet (64-2048 channels, MXU-peak-bound) keeps int8: 280 vs 238.
     INT8_SCORING_HRNET: bool = False
+    # Mixed-precision int8 (PoseResNet): run the LAST n of the four
+    # residual stages in bf16 while the FLOP-heavy early stages keep the
+    # s8 MXU path.  The lever for strategies that rank raw heatmap VALUES
+    # (MPE/BSB): full-pipeline requant perturbs the peak masses they
+    # score, but the perturbation that matters enters via the late
+    # stages.  Engine.INT8_MIXED_TAIL applies a measured-safe minimum
+    # tail automatically for those strategies; this knob only raises it.
+    INT8_FLOAT_TAIL_STAGES: int = 0
     # Bypass the per-strategy int8 gate (engine.Engine.INT8_SAFE_STRATEGIES
     # — MPE/BSB measured ranking-UNSAFE under int8, BENCH_NOTES round 4).
     # For the evidence harness (tools/validate_learning.py --int8_compare)

@@ -347,13 +347,37 @@ def generate_heterogeneous_tree(
                 )
         return guids
 
-    # Train: one correlated common walk + several offset hard clusters.
+    def interleave(walk, n_val):
+        """Split one walk into train/val frame lists with the val frames
+        evenly INTERLEAVED: val poses sit inside the convex hull of the
+        train poses of the same scene, so val measures within-scene
+        generalization (new frames of a scene the model has labeled data
+        from — the realistic AL deployment setting), not transfer to an
+        unseen pose region (which the tiny-budget models of this
+        experiment cannot do, making every selection strategy look
+        equally bad)."""
+        n = len(walk)
+        val_idx = set(
+            int(i) for i in np.linspace(1, n - 2, num=n_val).round()
+        ) if n_val else set()
+        train_frames = [w for i, w in enumerate(walk) if i not in val_idx]
+        val_frames = [w for i, w in enumerate(walk) if i in val_idx]
+        return train_frames, val_frames
+
+    # One correlated common walk + several offset hard-cluster walks; val
+    # frames interleave each walk.
     common_base = rng.normal(scale=18.0, size=(num_joints, 3))
-    meta["common_guids"] = write_sequence(
-        "train", "500000_pose0",
-        _walk_from_base(rng, common_base, num_common), hard=False,
+    common_train, common_val = interleave(
+        _walk_from_base(rng, common_base, num_common + num_val_common),
+        num_val_common,
     )
+    meta["common_guids"] = write_sequence(
+        "train", "500000_pose0", common_train, hard=False
+    )
+    write_sequence("val", "700000_pose0", common_val, hard=False)
+
     per_cluster = max(num_hard // max(num_hard_clusters, 1), 1)
+    val_per_cluster = num_val_hard // max(num_hard_clusters, 1)
     for c in range(num_hard_clusters):
         base = (
             rng.normal(scale=18.0, size=(num_joints, 3))
@@ -362,26 +386,18 @@ def generate_heterogeneous_tree(
         n = per_cluster if c < num_hard_clusters - 1 else (
             num_hard - per_cluster * (num_hard_clusters - 1)
         )
-        meta["hard_guids"] += write_sequence(
-            "train", "6000%02d_pose0" % c,
-            _walk_from_base(rng, base, n), hard=True,
+        nv = val_per_cluster if c < num_hard_clusters - 1 else (
+            num_val_hard - val_per_cluster * (num_hard_clusters - 1)
         )
-
-    # Val/test: held-out walks, half common-style, half hard-style.
-    write_sequence(
-        "val", "700000_pose0",
-        _walk_from_base(
-            rng, rng.normal(scale=18.0, size=(num_joints, 3)), num_val_common
-        ),
-        hard=False,
-    )
-    meta["val_hard_guids"] = write_sequence(
-        "val", "710000_pose0",
-        _walk_from_base(
-            rng, rng.normal(scale=18.0, size=(num_joints, 3)), num_val_hard
-        ),
-        hard=True,
-    )
+        hard_train, hard_val = interleave(
+            _walk_from_base(rng, base, n + nv), nv
+        )
+        meta["hard_guids"] += write_sequence(
+            "train", "6000%02d_pose0" % c, hard_train, hard=True
+        )
+        meta["val_hard_guids"] += write_sequence(
+            "val", "7100%02d_pose0" % c, hard_val, hard=True
+        )
     split["test"] = dict(split["val"])
 
     with open(os.path.join(root, "labels.json"), "w") as f:

@@ -296,6 +296,14 @@ class Engine:
     # runs a forward.
     INT8_SAFE_STRATEGIES = ("TRIANGULATION", "HP", "CORESET", "RANDOM")
 
+    # Strategies whose selection measured int8-UNSAFE with the full int8
+    # backbone but SAFE with a mixed-precision float tail
+    # (quantized_pose_resnet_forward float_tail_stages; evidence:
+    # tools/validate_learning.py --int8_compare mixed arm, BENCH_NOTES
+    # round 5): {strategy: minimum float tail stages}.  Populated only for
+    # strategies with measured evidence; empty entries mean "score float".
+    INT8_MIXED_TAIL: Dict[str, int] = {}
+
     @property
     def use_int8(self) -> bool:
         """Int8 backbone for the SCORING path (TPU.INT8_SCORING), gated to
@@ -320,6 +328,7 @@ class Engine:
             and self._int8_supported()
             and (
                 self.cfg.AL.STRATEGY in self.INT8_SAFE_STRATEGIES
+                or self.cfg.AL.STRATEGY in self.INT8_MIXED_TAIL
                 or bool(self.cfg.TPU.INT8_SCORING_FORCE)
             )
         )
@@ -345,7 +354,22 @@ class Engine:
             params, batch_stats, flat, self.cfg.POSE_ESTIMATOR.NUM_LAYERS,
             act_scales=act_scales, collect_scales=collect_scales,
             int8_head=bool(self.cfg.TPU.INT8_DECONV) and self.use_pallas,
+            float_tail_stages=self.int8_float_tail,
         )
+
+    @property
+    def int8_float_tail(self) -> int:
+        """Effective mixed-precision float tail for the int8 PoseResNet
+        forward: the config knob, raised to the measured-safe minimum for
+        strategies in INT8_MIXED_TAIL.  TPU.INT8_SCORING_FORCE suppresses
+        the automatic raise (the evidence harness measures RAW configs)."""
+        tail = int(self.cfg.TPU.INT8_FLOAT_TAIL_STAGES)
+        if (
+            not self.cfg.TPU.INT8_SCORING_FORCE
+            and self.cfg.AL.STRATEGY in self.INT8_MIXED_TAIL
+        ):
+            tail = max(tail, self.INT8_MIXED_TAIL[self.cfg.AL.STRATEGY])
+        return tail
 
     @partial(jax.jit, static_argnames=("self",))
     def _int8_calibrate_step(self, params, batch_stats, images):

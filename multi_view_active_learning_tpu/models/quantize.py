@@ -108,6 +108,57 @@ def _qconv_bn(
     return y.astype(jnp.bfloat16)
 
 
+def _fconv_bn(
+    x, conv_params, bn_params, bn_stats,
+    strides=(1, 1), padding=None, relu=True,
+):
+    """bf16 conv + folded BN (+ ReLU) — the float twin of _qconv_bn, used
+    for the mixed-precision float tail (TPU.INT8_FLOAT_TAIL_STAGES)."""
+    w = conv_params["kernel"].astype(jnp.bfloat16)
+    kh = w.shape[0]
+    if padding is None:
+        padding = [(kh // 2, kh // 2)] * 2 if kh > 1 else [(0, 0)] * 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w, strides, padding, dimension_numbers=_DN,
+    )
+    bscale, bbias = _bn_fold(bn_params, bn_stats)
+    y = y.astype(jnp.float32) * bscale + bbias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(jnp.bfloat16)
+
+
+def _basic_block_f(x, p, s, prefix, strides, downsample):
+    out = _fconv_bn(x, p["conv1"], p["bn1"], s["bn1"], (strides, strides))
+    out = _fconv_bn(out, p["conv2"], p["bn2"], s["bn2"], relu=False)
+    if downsample:
+        residual = _fconv_bn(
+            x, p["downsample_conv"], p["downsample_bn"], s["downsample_bn"],
+            (strides, strides), relu=False,
+        )
+    else:
+        residual = x
+    return jnp.maximum(
+        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
+    ).astype(jnp.bfloat16)
+
+
+def _bottleneck_block_f(x, p, s, prefix, strides, downsample):
+    out = _fconv_bn(x, p["conv1"], p["bn1"], s["bn1"])
+    out = _fconv_bn(out, p["conv2"], p["bn2"], s["bn2"], (strides, strides))
+    out = _fconv_bn(out, p["conv3"], p["bn3"], s["bn3"], relu=False)
+    if downsample:
+        residual = _fconv_bn(
+            x, p["downsample_conv"], p["downsample_bn"], s["downsample_bn"],
+            (strides, strides), relu=False,
+        )
+    else:
+        residual = x
+    return jnp.maximum(
+        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
+    ).astype(jnp.bfloat16)
+
+
 def _basic_block(x, p, s, scales, prefix, strides, downsample):
     out = _qconv_bn(
         x, p["conv1"], p["bn1"], s["bn1"], scales, prefix + "/conv1",
@@ -157,6 +208,7 @@ def quantized_pose_resnet_forward(
     params, batch_stats, images, num_layers: int,
     act_scales=None, collect_scales: bool = False,
     int8_head: bool = False,
+    float_tail_stages: int = 0,
 ):
     """Int8 inference forward: images [N, H, W, 3] float (normalized) ->
     heatmaps [N, H/4, W/4, K] float32.
@@ -169,7 +221,14 @@ def quantized_pose_resnet_forward(
     XLA, but the phase decomposition is dense 2x2 matmuls, which do.
     `act_scales`: static per-tensor scale table (the dict a
     `collect_scales=True` call returns); with `collect_scales=True` the
-    return value is `(heatmaps, scales_dict)` for calibration."""
+    return value is `(heatmaps, scales_dict)` for calibration.
+
+    `float_tail_stages` (TPU.INT8_FLOAT_TAIL_STAGES): run the LAST n of the
+    four residual stages in bf16 instead of int8 — the mixed-precision
+    compromise for strategies that rank raw heatmap VALUES (MPE/BSB, which
+    full-pipeline requant perturbs, Engine.INT8_SAFE_STRATEGIES): the
+    late-stage features that shape peak masses stay float while the
+    FLOP-heavy early stages keep the s8 MXU path."""
     block_cls, layer_sizes = RESNET_SPEC[num_layers]
     scales = _ActScales(act_scales, collect_scales)
     x = images.astype(jnp.bfloat16)
@@ -192,26 +251,34 @@ def quantized_pose_resnet_forward(
     )
 
     block_fn = _basic_block if block_cls is BasicBlock else _bottleneck_block
+    float_fn = _basic_block_f if block_cls is BasicBlock else _bottleneck_block_f
     expansion = 1 if block_cls is BasicBlock else 4
     inplanes = 64
     for stage, (planes, blocks) in enumerate(
         zip((64, 128, 256, 512), layer_sizes)
     ):
         strides = 1 if stage == 0 else 2
+        float_stage = stage >= 4 - int(float_tail_stages)
         for i in range(blocks):
             needs_down = i == 0 and (
                 strides != 1 or inplanes != planes * expansion
             )
             name = f"layer{stage + 1}_{i}"
-            x = block_fn(
-                x,
-                params[name],
-                batch_stats[name],
-                scales,
-                name,
-                strides if i == 0 else 1,
-                needs_down,
-            )
+            if float_stage:
+                x = float_fn(
+                    x, params[name], batch_stats[name], name,
+                    strides if i == 0 else 1, needs_down,
+                )
+            else:
+                x = block_fn(
+                    x,
+                    params[name],
+                    batch_stats[name],
+                    scales,
+                    name,
+                    strides if i == 0 else 1,
+                    needs_down,
+                )
         inplanes = planes * expansion
 
     # Head: ConvTranspose + folded BN + ReLU — bf16 XLA by default, or the

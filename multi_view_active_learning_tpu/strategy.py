@@ -603,6 +603,14 @@ class ActiveLearningStrategy:
                     "TPU.INT8_SCORING: false for bit-float scoring)."
                     % cfg.AL.STRATEGY
                 )
+            elif cfg.AL.STRATEGY in Engine.INT8_MIXED_TAIL:
+                self._logger.info(
+                    "Pool scoring uses the MIXED int8 backbone (%d float "
+                    "tail stage(s); %s measured ranking-safe only with the "
+                    "float tail, BENCH_NOTES round 5 — set "
+                    "TPU.INT8_SCORING: false for bit-float scoring)."
+                    % (self.engine.int8_float_tail, cfg.AL.STRATEGY)
+                )
             else:
                 self._logger.warning(
                     "TPU.INT8_SCORING_FORCE overrides the per-strategy "

@@ -104,3 +104,48 @@ def test_rate_logger_periodic_lines():
     done = RateLogger(logger, "scored", 10, interval=0.0)
     done.tick(10)
     assert not any("scored 10/10" in m for m in logs), logs
+
+
+def test_check_dataset_validator(tmp_path, capsys):
+    """tools/check_dataset.py: green on schema-exact synthetic trees, red
+    on a corrupted one (MIGRATION.md's pre-parity fail-fast step)."""
+    import json
+    import os
+    import sys
+
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import check_dataset
+
+    root = generate_panoptic_tree(
+        str(tmp_path / "tree"), num_train_frames=3, num_val_frames=2,
+        num_joints=5, num_cameras=2,
+    )
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["check_dataset.py"] + argv
+        try:
+            return check_dataset.main()
+        finally:
+            sys.argv = old
+
+    assert run(["--type", "panoptic", "--root", root]) == 0
+
+    # Corrupt: drop one camera from a pose's camera dict.
+    with open(os.path.join(root, "labels.json")) as f:
+        labels = json.load(f)
+    pose = next(iter(labels["train"]))
+    victim = next(iter(labels["train"][pose]["cameras"]))
+    del labels["train"][pose]["cameras"][victim]
+    with open(os.path.join(root, "labels.json"), "w") as f:
+        json.dump(labels, f)
+    assert run(["--type", "panoptic", "--root", root]) == 1

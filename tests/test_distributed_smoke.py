@@ -327,6 +327,139 @@ _TRAIN_WORKER = textwrap.dedent(
 )
 
 
+_SAL_ITERATION_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.environ["MVAL_REPO"])
+
+    from multi_view_active_learning_tpu.utils import enable_compilation_cache
+    enable_compilation_cache("/tmp/jax_cache")
+
+    from multi_view_active_learning_tpu import parallel
+
+    pid = int(os.environ["MVAL_PROC_ID"])
+    assert parallel.initialize_distributed(
+        coordinator_address=os.environ["MVAL_COORD"],
+        num_processes=2,
+        process_id=pid,
+    )
+
+    from multi_view_active_learning_tpu.config import get_default_configs
+    from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
+    from multi_view_active_learning_tpu.utils import checkpoint as ckpt
+
+    cfg = get_default_configs()
+    cfg.EXPR_TYPE = "SAL"
+    cfg.DATA.TYPE = "synthetic"
+    cfg.DATA.SYNTHETIC_ROOT = os.environ["MVAL_TREE"]
+    cfg.DATA.NUM_JOINTS = 4
+    cfg.DATA.INPUT_WIDTH = 32
+    cfg.DATA.INPUT_HEIGHT = 32
+    cfg.DATA.EPOCH_SIZE = 4
+    cfg.POSE_ESTIMATOR.TYPE = "POSE_RESNET"
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.INT8_SCORING = False
+    cfg.TRAIN.BATCH_SIZE = 1      # per-device
+    cfg.TRAIN.VAL_SIZE = 1
+    cfg.TRAIN.NUM_WORKERS = 0
+    cfg.AL.STRATEGY = "TRIANGULATION"
+    cfg.AL.INITIAL_AMOUNT = 2
+    cfg.AL.ITER_AMOUNT = 2
+    cfg.AL.ITERATIONS = 2
+    cfg.AL.INFERENCE.BATCH_SIZE = 1
+    cfg.AL.INFERENCE.NUM_WORKERS = 0
+    cfg.SAL.NUM_FRAMES = [0, 2]
+    cfg.SAL.INLIER_THRESHOLD = -1  # 2 cameras -> at most 2 inliers
+    cfg.TRAIN.OPTIM.TOTAL_STEPS = 2
+    cfg.TRAIN.LOG_EVERY_ITER = 2
+    cfg.LOG_DIR = os.environ["MVAL_LOG"]
+    cfg.EXPR_NAME = "DIST-SAL"
+
+    mesh = parallel.make_mesh(2, 1)
+
+    # Gloo contexts while aligned (see the scoring worker), then lockstep.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    boot = ActiveLearningStrategy(cfg, mesh)
+    tiny = boot._put(np.full((1,), pid + 1.0, np.float32))
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(tiny)
+    assert float(np.asarray(jax.device_get(total))) == 3.0
+    boot._fetch_global({"x": tiny})
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("sal_start", 600_000)
+
+    def snapshot(pool):
+        return {
+            "labeled": sorted(f["guid"] for f in pool.labeled_data),
+            "pseudo": sorted(pool.pseudo_label_guids),
+            "unlabeled": sorted(pool.unlabeled_data),
+        }
+
+    # ---- iteration 0 (workflow.run_al_iteration flow, inlined so the
+    # pool is inspectable between stages) ----
+    it0 = cfg.clone(); it0.AL.CURRENT_ITER = 0
+    s0 = ActiveLearningStrategy(it0, mesh)
+    state = s0.new_state(salt=0)
+    pool0 = build_dataset(it0, "train")
+    val0 = build_dataset(it0, "val")
+    pool0 = s0.restore_dataset(pool0, 0)
+    pool0 = s0.sample_next_batch(pool0, cfg.AL.INITIAL_AMOUNT, 0, state, 0)
+    snap0 = snapshot(pool0)
+    s0.al_iteration(s0.new_state(salt=1000), pool0, val0, 0)
+
+    # ---- iteration 1: scorer restore -> guid replay -> score/select/
+    # pseudo-label -> train ----
+    it1 = cfg.clone(); it1.AL.CURRENT_ITER = 1
+    s1 = ActiveLearningStrategy(it1, mesh)
+    state1 = s1.new_state(salt=1)
+    restore = os.path.join(
+        cfg.LOG_DIR, cfg.EXPR_NAME, "ITER-0", "checkpoints", "CKPT-FINAL"
+    )
+    state1 = s1._maybe_replicate(ckpt.restore_params_only(restore, state1))
+    pool1 = build_dataset(it1, "train")
+    val1 = build_dataset(it1, "val")
+    pool1 = s1.restore_dataset(pool1, 1)
+    assert sorted(f["guid"] for f in pool1.labeled_data) == snap0["labeled"]
+    pool1 = s1.sample_next_batch(
+        pool1, cfg.AL.ITER_AMOUNT, cfg.SAL.NUM_FRAMES[1], state1, 1
+    )
+    snap1 = snapshot(pool1)
+    s1.al_iteration(s1.new_state(salt=1001), pool1, val1, 1)
+
+    # ---- iteration 2 start: replay-restore + a second scoring sweep ----
+    it2 = cfg.clone(); it2.AL.CURRENT_ITER = 2
+    s2 = ActiveLearningStrategy(it2, mesh)
+    state2 = s2.new_state(salt=2)
+    restore = os.path.join(
+        cfg.LOG_DIR, cfg.EXPR_NAME, "ITER-1", "checkpoints", "CKPT-FINAL"
+    )
+    state2 = s2._maybe_replicate(ckpt.restore_params_only(restore, state2))
+    pool2 = build_dataset(it2, "train")
+    pool2 = s2.restore_dataset(pool2, 2)
+    snap2 = snapshot(pool2)
+    pool2.resample_unlabeled_data()
+    sal2 = s2._compute_sal_dict(pool2, state2, 2)
+
+    with open(os.environ["MVAL_OUT"], "w") as f:
+        json.dump(
+            {"snap0": snap0, "snap1": snap1, "snap2": snap2,
+             "sal2": dict(sal2["al_metric"])},
+            f,
+        )
+    print("sal-iteration proc %d ok" % pid)
+    """
+)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -470,6 +603,75 @@ def test_four_process_pool_scoring(tmp_path):
     for the global batch assembly — paths a 2-process run never exercises
     with a non-empty tail on both sides."""
     _run_scoring_smoke(tmp_path, 4, timeout=1800)  # 4 concurrent compiles
+
+
+def test_two_process_sal_iteration(tmp_path):
+    """One FULL SAL iteration across TWO real jax processes — the seam the
+    isolated scoring/training smokes never cross: `sample_next_batch` with
+    process-0-only guid-log writes, every process independently mutating
+    its own pool from the all-gathered sal_dict, ITER-0/ITER-1 training,
+    `restore_dataset` replay into iteration 2, and a second scoring sweep.
+    Both processes must agree on the labeled/pseudo pools at every stage
+    (a nondeterministic selection order would silently diverge labeled
+    sets between hosts — the reference's all-rank pool mutation semantics,
+    reference: strategy.py:54-135,915-1002), the replayed pools must match
+    the mutated ones, and the iteration-2 sal_dict must be identical."""
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
+
+    tree = generate_panoptic_tree(
+        str(tmp_path / "tree"), num_train_frames=8, num_val_frames=1,
+        num_joints=4, num_cameras=2,
+    )
+    port = _free_port()
+    worker_py = tmp_path / "sal_worker.py"
+    worker_py.write_text(_SAL_ITERATION_WORKER)
+    outs = [str(tmp_path / ("sal_out%d.json" % i)) for i in range(2)]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            MVAL_REPO=REPO,
+            MVAL_PROC_ID=str(pid),
+            MVAL_COORD="localhost:%d" % port,
+            MVAL_OUT=outs[pid],
+            MVAL_TREE=tree,
+            MVAL_LOG=str(tmp_path / "logs"),
+            JAX_PLATFORMS="cpu",
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+        )
+        env.pop("XLA_FLAGS", None)  # 1 device per process
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker_py)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = _drain_workers(procs, timeout=1500)  # scoring + training compiles
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    r0, r1 = [json.load(open(o)) for o in outs]
+    # Stage agreement across processes.
+    assert r0["snap0"] == r1["snap0"]
+    assert r0["snap1"] == r1["snap1"]
+    assert r0["snap2"] == r1["snap2"]
+    assert r0["sal2"] == r1["sal2"]
+    # The iteration actually selected and pseudo-labeled.
+    assert len(r0["snap0"]["labeled"]) == 2
+    assert len(r0["snap1"]["labeled"]) == 4
+    assert len(r0["snap1"]["pseudo"]) == 2
+    # Guid-log replay reproduces the mutated labeled pool exactly, and the
+    # SAL-GUID log restores the pseudo set (reference restore semantics).
+    assert r0["snap2"]["labeled"] == r0["snap1"]["labeled"]
+    assert r0["snap2"]["pseudo"] == r0["snap1"]["pseudo"]
+    # Iteration-2 sweep scored every remaining unlabeled frame.
+    assert sorted(r0["sal2"]) == r0["snap2"]["unlabeled"]
+    assert np.isfinite(list(r0["sal2"].values())).all()
 
 
 def test_two_process_training(tmp_path):

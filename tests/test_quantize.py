@@ -277,3 +277,61 @@ def test_int8_default_gated_per_strategy():
     cfg.TPU.INT8_SCORING_FORCE = False
     cfg.AL.CORESET_FEATURES = "POSE"
     assert Engine(cfg).use_int8
+
+
+def test_float_tail_stages_reduce_quant_error():
+    """Mixed-precision float tail (quantized_pose_resnet_forward
+    float_tail_stages / TPU.INT8_FLOAT_TAIL_STAGES): the forward stays
+    exact in structure, and moving trailing stages to bf16 moves the
+    output monotonically toward the float forward — the mechanism behind
+    the MPE/BSB mixed gate (Engine.INT8_MIXED_TAIL)."""
+    model = PoseResNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+
+    errs = {}
+    for tail in (0, 1, 4):
+        got = np.asarray(
+            quantized_pose_resnet_forward(
+                variables["params"], variables["batch_stats"], x, 18,
+                float_tail_stages=tail,
+            )
+        )
+        assert got.shape == ref.shape and np.isfinite(got).all()
+        errs[tail] = float(
+            np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+        )
+    # More float stages -> closer to the float forward.
+    assert errs[1] < errs[0], errs
+    assert errs[4] < errs[1], errs
+    # With every residual stage float (only the stem quantized), the
+    # output is near-float.
+    assert errs[4] < 0.35 * errs[0], errs
+
+
+def test_engine_mixed_gate_wiring():
+    """Engine.use_int8 honors INT8_MIXED_TAIL and int8_float_tail raises
+    the config knob to the measured-safe minimum (and not under FORCE)."""
+    from multi_view_active_learning_tpu.engine import Engine
+
+    cfg = get_default_configs()
+    cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg.AL.STRATEGY = "MPE"
+    engine = Engine(cfg)
+    if "MPE" in Engine.INT8_MIXED_TAIL:
+        assert engine.use_int8
+        assert engine.int8_float_tail >= Engine.INT8_MIXED_TAIL["MPE"]
+    else:
+        assert not engine.use_int8  # MPE stays float without evidence
+    # FORCE measures RAW configs: no automatic tail raise.
+    cfg2 = get_default_configs()
+    cfg2.POSE_ESTIMATOR.NUM_LAYERS = 18
+    cfg2.AL.STRATEGY = "MPE"
+    cfg2.TPU.INT8_SCORING_FORCE = True
+    engine2 = Engine(cfg2)
+    assert engine2.use_int8
+    assert engine2.int8_float_tail == 0
+    cfg2.TPU.INT8_FLOAT_TAIL_STAGES = 1
+    assert Engine(cfg2).int8_float_tail == 1

@@ -69,8 +69,15 @@ def base_config(args, tree: str):
     cfg.DATA.INPUT_WIDTH = 64
     cfg.DATA.INPUT_HEIGHT = 64
     cfg.DATA.EPOCH_SIZE = 2048
-    cfg.DATA.NUM_AUG = 0
-    cfg.DATA.USE_ROTATION = False
+    # Rotation-only augmentation: tiny labeled sets memorize otherwise
+    # (the calibration probe measured val MKPE ~90 on held-out frames of
+    # the TRAINED scene without it), and the image-color ops would destroy
+    # the joint color coding the synthetic task is built on.
+    cfg.DATA.NUM_AUG = 1
+    cfg.DATA.AUG_MAGNITUDE = 9
+    cfg.DATA.USE_ROTATION = True
+    cfg.DATA.USE_IMAGE_AUG = False
+    cfg.DATA.USE_CONST_AUG_MAGNITUDE = False
     cfg.POSE_ESTIMATOR.NUM_LAYERS = 18
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TRAIN.BATCH_SIZE = 4
@@ -133,6 +140,7 @@ def calibrate(args, tree: str) -> int:
 
     def train_and_probe(label_guids, tag):
         cfg = base_config(args, tree)
+        cfg.AL.STRATEGY = "TRIANGULATION"  # probe mirrors the scoring arm
         cfg.EXPR_NAME = "CALIB-%s" % tag
         strategy = ActiveLearningStrategy(cfg)
         train = build_dataset(cfg, "train")

@@ -37,6 +37,17 @@ def main():
         "(TPU.INT8_SCORING) on the trained checkpoint and report ranking "
         "agreement + eval-MKPE delta (the INT8_SCORING-default evidence)",
     )
+    parser.add_argument(
+        "--compare_pool", type=int, default=0,
+        help="score a SEPARATE synthetic pool of this many frames for the "
+        "int8 comparison (0 = reuse the training tree).  The per-strategy "
+        "gate evidence should come from a few-hundred-frame pool, not the "
+        "8-frame training set.",
+    )
+    parser.add_argument(
+        "--bootstrap", type=int, default=1000,
+        help="bootstrap resamples for the rank-correlation CI",
+    )
     args = parser.parse_args()
 
     from multi_view_active_learning_tpu.config import get_default_configs
@@ -94,61 +105,120 @@ def main():
     print("VALIDATION %s" % ("PASSED" if ok else "FAILED"))
 
     if ok and args.int8_compare:
-        ok = _int8_compare(cfg, state) and ok
+        ok = _int8_compare(cfg, state, args) and ok
     return 0 if ok else 1
 
 
-def _int8_compare(cfg, state) -> bool:
+def _spearman_ci(a, b, n_boot: int, rng) -> tuple:
+    """(rank_corr, ci_lo, ci_hi): Spearman correlation with a frame-level
+    bootstrap CI — the uncertainty that matters for 'does int8 rank this
+    POOL like float', resampling frames with replacement."""
+    def spearman(x, y):
+        rx = np.argsort(np.argsort(x)).astype(np.float64)
+        ry = np.argsort(np.argsort(y)).astype(np.float64)
+        c = np.corrcoef(rx, ry)[0, 1]
+        return float(c) if np.isfinite(c) else 0.0
+
+    point = spearman(a, b)
+    n = len(a)
+    boots = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.integers(0, n, size=n)
+        boots[i] = spearman(a[idx], b[idx])
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    return point, float(lo), float(hi)
+
+
+def _int8_compare(cfg, state, args) -> bool:
     """Float-vs-int8 scoring on a TRAINED checkpoint, PER STRATEGY: the
     evidence behind the TPU.INT8_SCORING default.  The AL metric only feeds
     frame selection (a ranking, reference strategy.py:945-949), so the bar
-    is ranking agreement, not bitwise parity: rank_corr > 0.9 and top-25%
-    overlap >= 0.75 for every metric strategy (TRIANGULATION scores off
-    triangulated geometry; MPE/HP/BSB score off raw heatmap values, which
-    int8 requant perturbs differently), plus selected-set overlap for
-    CORESET (k-center greedy over the triangulated poses).  eval-MKPE is
-    compared for the TPU.INT8_EVAL (off-by-default) knob."""
+    is ranking agreement, not bitwise parity.
+
+    THE BAR AND ITS RATIONALE: a strategy is int8-safe iff
+      (a) the 95% bootstrap CI of the Spearman rank correlation lies
+          entirely above 0.9, and
+      (b) top-25% overlap >= 0.75.
+    Selection consumes only the top AL.ITER_AMOUNT ranks of the pool
+    (reference strategy.py:945-950 nlargest), so (b) demands that at least
+    3 of every 4 frames the float pipeline would select are also selected
+    under int8, and (a) demands the global ordering agree tightly enough
+    that the remaining quarter are near-boundary swaps (frames of nearly
+    equal metric), not inversions hoisted from deep in the pool.  The CI —
+    not the point estimate — must clear the bar, so a small pool cannot
+    pass on luck; a CI that straddles the bar FAILS.
+
+    Arms per strategy: full int8, and for strategies that rank raw heatmap
+    VALUES (MPE/BSB) also MIXED int8 (TPU.INT8_FLOAT_TAIL_STAGES=1 — last
+    residual stage float).  The product gates
+    (Engine.INT8_SAFE_STRATEGIES for full int8, Engine.INT8_MIXED_TAIL for
+    mixed) are checked against the matching arm's evidence.  CORESET is
+    compared by selected-set overlap (k-center greedy over the
+    triangulated poses); eval-MKPE is compared for the TPU.INT8_EVAL
+    (off-by-default) knob."""
     from multi_view_active_learning_tpu.data import build_dataset
+    from multi_view_active_learning_tpu.data.synthetic import (
+        generate_panoptic_tree,
+    )
     from multi_view_active_learning_tpu.engine import Engine
     from multi_view_active_learning_tpu.ops import coreset as coreset_ops
     from multi_view_active_learning_tpu.strategy import ActiveLearningStrategy
 
+    if args.compare_pool:
+        pool_tree = generate_panoptic_tree(
+            os.path.join(args.workdir, "compare_pool_%d" % args.compare_pool),
+            num_train_frames=args.compare_pool,
+            num_val_frames=2,
+            seed=7,
+        )
+        cfg = cfg.clone()
+        cfg.DATA.SYNTHETIC_ROOT = pool_tree
+
+    rng = np.random.default_rng(11)
     good = True
     sal = {}
     raw_ok = {}
-    for strategy_name in ("TRIANGULATION", "MPE", "HP", "BSB"):
-        for int8 in (False, True):
-            c = cfg.clone()
-            c.AL.STRATEGY = strategy_name
-            c.TPU.INT8_SCORING = int8
-            # RAW int8 behavior is the evidence; the per-strategy product
-            # gate (Engine.INT8_SAFE_STRATEGIES) is checked against it
-            # below, so bypass it here.
-            c.TPU.INT8_SCORING_FORCE = int8
-            strat = ActiveLearningStrategy(c)
-            pool = build_dataset(c, "train")
-            pool.resample_unlabeled_data()
-            sal[(strategy_name, int8)] = strat._compute_sal_dict(pool, state)
-        guids = list(sal[(strategy_name, False)]["al_metric"])
+    # (strategy, arm): arm None=float, 0=full int8, 1=mixed (1-stage tail).
+    arms = [("TRIANGULATION", None), ("TRIANGULATION", 0),
+            ("MPE", None), ("MPE", 0), ("MPE", 1),
+            ("HP", None), ("HP", 0),
+            ("BSB", None), ("BSB", 0), ("BSB", 1)]
+    for strategy_name, arm in arms:
+        c = cfg.clone()
+        c.AL.STRATEGY = strategy_name
+        c.TPU.INT8_SCORING = arm is not None
+        # RAW behavior is the evidence; the per-strategy product gates
+        # are checked against it below, so bypass them here.
+        c.TPU.INT8_SCORING_FORCE = arm is not None
+        c.TPU.INT8_FLOAT_TAIL_STAGES = arm or 0
+        strat = ActiveLearningStrategy(c)
+        pool = build_dataset(c, "train")
+        pool.resample_unlabeled_data()
+        sal[(strategy_name, arm)] = strat._compute_sal_dict(pool, state)
+
+    for strategy_name, arm in arms:
+        if arm is None:
+            continue
+        tag = "int8" if arm == 0 else "mixed(tail=%d)" % arm
+        guids = list(sal[(strategy_name, None)]["al_metric"])
         a = np.asarray(
-            [sal[(strategy_name, False)]["al_metric"][g] for g in guids]
+            [sal[(strategy_name, None)]["al_metric"][g] for g in guids]
         )
         b = np.asarray(
-            [sal[(strategy_name, True)]["al_metric"][g] for g in guids]
+            [sal[(strategy_name, arm)]["al_metric"][g] for g in guids]
         )
-        ra = np.argsort(np.argsort(a))
-        rb = np.argsort(np.argsort(b))
-        rank_corr = float(np.corrcoef(ra, rb)[0, 1])
+        rank_corr, ci_lo, ci_hi = _spearman_ci(a, b, args.bootstrap, rng)
         k = max(len(guids) // 4, 1)
         topk_f32 = set(np.argsort(-a)[:k].tolist())
         topk_i8 = set(np.argsort(-b)[:k].tolist())
         overlap = len(topk_f32 & topk_i8) / k
-        raw_ok[strategy_name] = rank_corr > 0.9 and overlap >= 0.75
+        raw_ok[(strategy_name, arm)] = ci_lo > 0.9 and overlap >= 0.75
         print(
-            "int8(raw) vs float [%s] (%d frames): rank_corr %.3f  top-%d "
-            "overlap %.2f  %s"
-            % (strategy_name, len(guids), rank_corr, k, overlap,
-               "ok" if raw_ok[strategy_name] else "unsafe")
+            "%s vs float [%s] (%d frames): rank_corr %.3f "
+            "(95%% CI [%.3f, %.3f])  top-%d overlap %.2f  %s"
+            % (tag, strategy_name, len(guids), rank_corr, ci_lo, ci_hi, k,
+               overlap,
+               "ok" if raw_ok[(strategy_name, arm)] else "unsafe")
         )
 
     # CORESET selects by triangulated pose, not by a metric ranking:
@@ -162,44 +232,50 @@ def _int8_compare(cfg, state) -> bool:
     # denominator is the number actually selected, not k, so small or
     # partially-degenerate pools cannot spuriously trip the gate check.
     finite = {
-        int8: {
+        arm: {
             g: np.asarray(kp)
-            for g, kp in sal[("TRIANGULATION", int8)][
+            for g, kp in sal[("TRIANGULATION", arm)][
                 "pred_3d_keypoints"
             ].items()
             if np.isfinite(kp).all()
         }
-        for int8 in (False, True)
+        for arm in (None, 0)
     }
-    common = [g for g in finite[False] if g in finite[True]]
+    common = [g for g in finite[None] if g in finite[0]]
     n_sel = min(k, len(common))
     picks = {}
-    for int8 in (False, True):
+    for arm in (None, 0):
         cs = coreset_ops.CoreSet(
-            {g: finite[int8][g] for g in common}, {}, 2
+            {g: finite[arm][g] for g in common}, {}, 2
         )
-        picks[int8] = set(cs.select_batch(n_sel))
-    coreset_overlap = len(picks[False] & picks[True]) / max(n_sel, 1)
-    raw_ok["CORESET"] = coreset_overlap >= 0.75
+        picks[arm] = set(cs.select_batch(n_sel))
+    coreset_overlap = len(picks[None] & picks[0]) / max(n_sel, 1)
+    raw_ok[("CORESET", 0)] = coreset_overlap >= 0.75
     print(
-        "int8(raw) vs float [CORESET] top-%d selection overlap %.2f  %s"
-        % (n_sel, coreset_overlap, "ok" if raw_ok["CORESET"] else "unsafe")
+        "int8 vs float [CORESET] top-%d selection overlap %.2f  %s"
+        % (n_sel, coreset_overlap,
+           "ok" if raw_ok[("CORESET", 0)] else "unsafe")
     )
 
-    # The PRODUCT contract: every strategy the default runs int8 must have
-    # measured safe, and every measured-unsafe strategy must be gated to
-    # float (Engine.INT8_SAFE_STRATEGIES).
-    for name, ok in raw_ok.items():
-        gated_on = name in Engine.INT8_SAFE_STRATEGIES
-        if gated_on and not ok:
-            print("GATE VIOLATION: %s defaults to int8 but measured unsafe"
-                  % name)
+    # The PRODUCT contract: every strategy the default runs int8 (full or
+    # mixed) must have measured safe ON THAT ARM, and every measured-unsafe
+    # strategy must be gated to float.
+    for (name, arm), arm_ok in raw_ok.items():
+        if arm == 0:
+            gated_on = name in Engine.INT8_SAFE_STRATEGIES
+            tag = "full int8"
+        else:
+            gated_on = Engine.INT8_MIXED_TAIL.get(name) == arm
+            tag = "mixed int8 (tail=%d)" % arm
+        if gated_on and not arm_ok:
+            print("GATE VIOLATION: %s defaults to %s but measured unsafe"
+                  % (name, tag))
             good = False
-        if not gated_on and ok:
-            print("note: %s measured int8-safe here but stays float "
-                  "(conservative gate)" % name)
+        if not gated_on and arm_ok:
+            print("note: %s measured %s-safe here but the gate does not "
+                  "use it" % (name, tag))
 
-    tri_f, tri_i = sal[("TRIANGULATION", False)], sal[("TRIANGULATION", True)]
+    tri_f, tri_i = sal[("TRIANGULATION", None)], sal[("TRIANGULATION", 0)]
     mk_a = np.asarray([tri_f["mkpe"][g] for g in guids])
     mk_b = np.asarray([tri_i["mkpe"][g] for g in guids])
     print(
