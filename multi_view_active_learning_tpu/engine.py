@@ -237,9 +237,9 @@ class Engine:
     def _flatten_normalize(self, images, use_int8: bool = False):
         """[B, V, H, W, 3] -> normalized [B*V, H', W', C'] in compute dtype
         (uint8 inputs get the fused ImageNet normalization; float inputs
-        are assumed pre-normalized).  `use_int8` disables the
-        space-to-depth fast path (the quantized forward expects the plain
-        3-channel layout)."""
+        are assumed pre-normalized).  The space-to-depth fast path applies
+        to both the float and int8 forwards (quantize.py's stem accepts
+        the 12-channel layout with the exact kernel remap)."""
         B, V = images.shape[0], images.shape[1]
         flat = images.reshape((B * V,) + images.shape[2:])
         if flat.dtype == jnp.uint8:
@@ -255,7 +255,6 @@ class Engine:
             std = np.asarray(geometry.IMAGENET_STD)
             if (
                 self.cfg.TPU.SPACE_TO_DEPTH_STEM
-                and not use_int8
                 and self.cfg.POSE_ESTIMATOR.TYPE == "POSE_RESNET"
                 and flat.shape[1] % 2 == 0
                 and flat.shape[2] % 2 == 0

@@ -233,13 +233,26 @@ def quantized_pose_resnet_forward(
     scales = _ActScales(act_scales, collect_scales)
     x = images.astype(jnp.bfloat16)
 
-    # Stem (plain 7x7/s2 path; int8 scoring is independent of the
-    # space-to-depth option).
-    wq, ws = _quant_weight(params["conv1"]["kernel"])
+    # Stem: plain 7x7/s2, or — when the input arrives space-to-depth'd
+    # ([N, H/2, W/2, 12], TPU.SPACE_TO_DEPTH_STEM) — the mathematically
+    # exact dense 4x4/s1 remap (models/pose_resnet.py::SpaceToDepthStem
+    # derivation).  Quantization commutes with the remap: it permutes /
+    # zero-pads weights, so the per-output-channel scales are unchanged
+    # and the s32 accumulation sums the same integer products.
+    w = params["conv1"]["kernel"]
+    if x.shape[-1] == 4 * w.shape[2]:
+        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w = wp.reshape(4, 2, 4, 2, w.shape[2], w.shape[3]).transpose(
+            0, 2, 1, 3, 4, 5
+        ).reshape(4, 4, 4 * w.shape[2], w.shape[3])
+        stem_strides, stem_pad = (1, 1), [(2, 1), (2, 1)]
+    else:
+        stem_strides, stem_pad = (2, 2), [(3, 3), (3, 3)]
+    wq, ws = _quant_weight(w)
     sx = scales.scale_for("stem", x)
     xq = _quant_act(x, sx)
     y = jax.lax.conv_general_dilated(
-        xq, wq, (2, 2), [(3, 3), (3, 3)], dimension_numbers=_DN,
+        xq, wq, stem_strides, stem_pad, dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
     bscale, bbias = _bn_fold(params["bn1"], batch_stats["bn1"])

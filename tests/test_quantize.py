@@ -335,3 +335,32 @@ def test_engine_mixed_gate_wiring():
     assert engine2.int8_float_tail == 0
     cfg2.TPU.INT8_FLOAT_TAIL_STAGES = 1
     assert Engine(cfg2).int8_float_tail == 1
+
+
+def test_int8_space_to_depth_stem_exact():
+    """The int8 stem accepts space-to-depth'd inputs and computes the
+    same function: quantization commutes with the SpaceToDepthStem kernel
+    remap (a weight permutation + zero padding), and the s32 accumulator
+    sums the same integer products, so outputs match the plain int8 stem
+    to float rounding."""
+    from multi_view_active_learning_tpu.models.pose_resnet import (
+        space_to_depth,
+    )
+
+    model = PoseResNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    plain = np.asarray(
+        quantized_pose_resnet_forward(
+            variables["params"], variables["batch_stats"], x, 18
+        )
+    )
+    s2d = np.asarray(
+        quantized_pose_resnet_forward(
+            variables["params"], variables["batch_stats"],
+            space_to_depth(x), 18,
+        )
+    )
+    assert s2d.shape == plain.shape
+    np.testing.assert_allclose(s2d, plain, rtol=1e-4, atol=1e-4)
