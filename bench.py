@@ -168,6 +168,9 @@ def main():
     _apply_int8_env(cfg)
     # Fused int8 Pallas phase-deconv head (TPU.INT8_DECONV).
     cfg.TPU.INT8_DECONV = os.environ.get("BENCH_INT8_DECONV", "0") == "1"
+    # Space-to-depth stem (uint8 s2d before normalize; exact remap for both
+    # float and int8 forwards — engine._normalize_flat).
+    cfg.TPU.SPACE_TO_DEPTH_STEM = os.environ.get("BENCH_S2D", "0") == "1"
     cfg.AL.STRATEGY = STRATEGY
     engine = Engine(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 3))
