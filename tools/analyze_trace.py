@@ -10,56 +10,89 @@ compute-bound vs bandwidth-bound against the chip's rooflines, and the
 
 Usage:
   python tools/profile_scoring.py --model HRNET --logdir /tmp/hrnet_trace
-  python tools/analyze_trace.py /tmp/hrnet_trace [--match fusion] [--top 25]
+  python tools/analyze_trace.py /tmp/hrnet_trace [--match branch0_block] [--top 25]
 
-Parses the .xplane.pb with tensorboard_plugin_profile's raw-to-tool
-converter (needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python on this
-image — set automatically below, BEFORE protobuf imports).
+Parses the device plane out of the trace's own trace.json.gz (the same
+events profile_scoring.py's category summary reads): each complete event
+carries `bytes_accessed`, `model_flops`, `hlo_category`, `tf_op` and a
+`source_stack` pointing back into model code, which is everything the
+roofline needs.  (tensorboard_plugin_profile's raw_to_tool_data converter
+is broken against this image's TF build — AttributeError on
+xspace_to_tools_data — so the .xplane.pb path is deliberately avoided.)
 """
 
 import argparse
+import collections
 import glob
+import gzip
 import json
 import os
 import sys
 
-# Must be set before any *_pb2 import: the baked-in protoc-generated
-# modules predate the installed protobuf's C++ fastpath requirements.
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
+def load_op_rows(logdir: str):
+    """Aggregate device-plane ops from the newest trace.json.gz.
 
-def load_hlo_stats(logdir: str):
-    """Return a list of per-op dicts from the trace's hlo_stats tool."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    xplanes = sorted(
-        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    Returns a list of per-op dicts: name, category, time_us (summed over
+    occurrences/steps), flops, bytes, occ, tf_op, source (the innermost
+    non-site-packages frame of the op's source_stack)."""
+    traces = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
     )
-    if not xplanes:
-        raise SystemExit("no .xplane.pb under %s" % logdir)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", params={}
-    )
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    # hlo_stats ships as gviz JSON ({"cols": [...], "rows": [...]}) or
-    # data-table JSON depending on plugin version; normalize to dicts.
-    obj = json.loads(data)
-    if isinstance(obj, list):
-        obj = obj[0]
-    cols = [c.get("label") or c.get("id") for c in obj["cols"]]
-    rows = []
-    for r in obj["rows"]:
-        rows.append(
-            {cols[i]: (c or {}).get("v") for i, c in enumerate(r["c"])}
-        )
-    return rows
+    if not traces:
+        raise SystemExit("no *.trace.json.gz under %s" % logdir)
+    with gzip.open(traces[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    names = {
+        e["pid"]: e["args"].get("name")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, n in names.items() if n and "TPU" in n}
+
+    rows = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        a = e.get("args")
+        if not a or "hlo_category" not in a:
+            continue
+        key = e.get("name")
+        r = rows.get(key)
+        if r is None:
+            src = ""
+            for line in str(a.get("source_stack", "")).splitlines():
+                if line and "site-packages" not in line:
+                    src = line.strip()
+                    break
+            r = rows[key] = {
+                "name": key,
+                "category": a["hlo_category"],
+                "time_us": 0.0,
+                "flops": 0.0,
+                "bytes": 0.0,
+                "occ": 0,
+                "tf_op": str(a.get("tf_op", "")).rstrip(":"),
+                "source": src or str(a.get("source", "")),
+            }
+        r["time_us"] += float(e.get("dur", 0.0))
+        r["flops"] += float(a.get("model_flops", 0) or 0)
+        r["bytes"] += float(a.get("raw_bytes_accessed",
+                                  a.get("bytes_accessed", 0)) or 0)
+        r["occ"] += 1
+    return list(rows.values())
 
 
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("logdir")
-    parser.add_argument("--match", default="", help="substring filter on op name/expression")
+    parser.add_argument(
+        "--match", default="",
+        help="substring filter on op name / tf_op / source",
+    )
     parser.add_argument("--top", type=int, default=25)
     parser.add_argument(
         "--peak_tflops", type=float, default=197.0,
@@ -71,74 +104,76 @@ def main() -> int:
     )
     args = parser.parse_args()
 
-    rows = load_hlo_stats(args.logdir)
+    rows = load_op_rows(args.logdir)
     if not rows:
-        raise SystemExit("hlo_stats empty")
-    # Column names vary slightly by version; resolve by substring.
-    keys = rows[0].keys()
+        raise SystemExit("no device ops in trace")
+    total_time = sum(r["time_us"] for r in rows)
 
-    def col(*subs):
-        for k in keys:
-            lk = (k or "").lower()
-            if all(s in lk for s in subs):
-                return k
-        return None
+    picked = [
+        r for r in rows
+        if not args.match
+        or args.match in r["name"]
+        or args.match in r["tf_op"]
+        or args.match in r["source"]
+    ]
+    picked.sort(key=lambda r: -r["time_us"])
 
-    c_name = col("hlo op name") or col("op name") or col("name")
-    c_expr = col("expression") or c_name
-    c_cat = col("category")
-    c_time = col("total time") or col("occurrences time") or col("time (us)")
-    c_flops = col("gflop")
-    c_bw = col("gb/s") or col("bandwidth")
-    c_occ = col("occurrence")
-    print("columns:", sorted(keys), file=sys.stderr)
-
-    def num(v):
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            return 0.0
-
-    picked = []
-    for r in rows:
-        name = str(r.get(c_name, "")) + " " + str(r.get(c_expr, ""))
-        if args.match and args.match not in name:
-            continue
-        picked.append(r)
-    picked.sort(key=lambda r: -num(r.get(c_time)))
-
-    total_time = sum(num(r.get(c_time)) for r in rows)
     print(
-        "%-46s %-18s %10s %8s %9s %9s %6s"
-        % ("op", "category", "time(us)", "share", "GFLOP/s", "GB/s", "occ")
+        "%-20s %-22s %9s %7s %8s %7s %6s %6s %5s  %s"
+        % ("op", "category", "time(us)", "share", "TFLOP/s", "GB/s",
+           "%peakF", "%peakB", "occ", "tf_op")
     )
     for r in picked[: args.top]:
-        t = num(r.get(c_time))
+        t = r["time_us"]
+        tfs = r["flops"] / (t * 1e-6) / 1e12 if t else 0.0
+        gbs = r["bytes"] / (t * 1e-6) / 1e9 if t else 0.0
         print(
-            "%-46s %-18s %10.1f %7.2f%% %9.1f %9.1f %6d"
+            "%-20s %-22s %9.1f %6.2f%% %8.1f %7.0f %5.0f%% %5.0f%% %5d  %s"
             % (
-                str(r.get(c_name))[:46],
-                str(r.get(c_cat))[:18],
-                t,
-                100.0 * t / max(total_time, 1e-9),
-                num(r.get(c_flops)) and num(r.get(c_flops)),
-                num(r.get(c_bw)),
-                num(r.get(c_occ)),
+                r["name"][:20], r["category"][:22], t,
+                100.0 * t / max(total_time, 1e-9), tfs, gbs,
+                100.0 * tfs / args.peak_tflops,
+                100.0 * gbs / args.peak_gbps,
+                r["occ"],
+                (r["tf_op"] or r["source"])[-70:],
             )
         )
+
+    t_m = sum(r["time_us"] for r in picked)
+    f_m = sum(r["flops"] for r in picked)
+    b_m = sum(r["bytes"] for r in picked)
     print(
-        "\ntotal accounted device time: %.1f us across %d ops"
-        % (total_time, len(rows))
+        "\nmatched: %d ops, %.1f us (%.2f%% of device time), "
+        "%.2f GFLOP, %.1f MB accessed"
+        % (len(picked), t_m, 100.0 * t_m / max(total_time, 1e-9),
+           f_m / 1e9, b_m / 1e6)
     )
-    # Roofline classification for the picked set: an op is
-    # bandwidth-bound when its achieved GB/s is a large fraction of peak
-    # while its GFLOP/s is far from compute peak.
+    if t_m:
+        print(
+            "matched aggregate: %.1f TFLOP/s (%.0f%% peak), %.0f GB/s "
+            "(%.0f%% peak); pure-HBM floor for these bytes: %.1f us"
+            % (
+                f_m / (t_m * 1e-6) / 1e12,
+                100.0 * f_m / (t_m * 1e-6) / 1e12 / args.peak_tflops,
+                b_m / (t_m * 1e-6) / 1e9,
+                100.0 * b_m / (t_m * 1e-6) / 1e9 / args.peak_gbps,
+                b_m / args.peak_gbps / 1e3,
+            )
+        )
+    print("total accounted device time: %.1f us across %d ops"
+          % (total_time, len(rows)))
+
+    # Roofline classification: an op is bandwidth-bound when its achieved
+    # GB/s is a large fraction of peak while its FLOP/s is far from the
+    # compute peak.
     bw_bound = [
         r for r in picked
-        if num(r.get(c_bw)) > 0.5 * args.peak_gbps
-        and num(r.get(c_flops)) < 0.4 * args.peak_tflops * 1e3
+        if r["time_us"]
+        and r["bytes"] / (r["time_us"] * 1e-6) / 1e9 > 0.5 * args.peak_gbps
+        and r["flops"] / (r["time_us"] * 1e-6) / 1e12
+        < 0.4 * args.peak_tflops
     ]
-    t_bw = sum(num(r.get(c_time)) for r in bw_bound)
+    t_bw = sum(r["time_us"] for r in bw_bound)
     print(
         "bandwidth-bound (>50%% peak GB/s, <40%% peak FLOP/s): %d ops, "
         "%.1f us (%.2f%% of device time)"
