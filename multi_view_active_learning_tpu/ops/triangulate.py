@@ -123,14 +123,30 @@ def _null_vector_power(M: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _gram(A: jnp.ndarray) -> jnp.ndarray:
+    """A^T A for [..., R, 4] -> [..., 4, 4], as an elementwise
+    multiply+reduce rather than an einsum/dot_general.
+
+    The contraction dims (R<=2V rows, 4 cols) are tiny, so XLA's MXU
+    lowering of the batched dot_general tiles catastrophically: in the
+    int8 headline trace the [B, J, 465-pair, 4, 4] Gram ran 515 us/step
+    at ~0 TFLOP/s and 9 GB/s — 3.7% of device time doing nothing — plus
+    two layout copies feeding the MXU operand format (BENCH_NOTES round
+    5).  The broadcast-multiply-reduce form lowers to a VPU loop fusion
+    with no relayouts.  f32 accumulation regardless of A's dtype (same
+    as dot_general's f32 accumulator for bf16 operands)."""
+    Af = A.astype(jnp.float32)
+    return jnp.sum(Af[..., :, :, None] * Af[..., :, None, :], axis=-3)
+
+
 def _null_vector(A: jnp.ndarray, method: str) -> jnp.ndarray:
     """Smallest right-singular vector of A: [..., R, 4] -> [..., 4]."""
     if method == "eigh":
-        M = jnp.einsum("...ri,...rj->...ij", A, A)  # A^T A, [..., 4, 4]
+        M = _gram(A)  # A^T A, [..., 4, 4]
         _, vecs = jnp.linalg.eigh(M)  # ascending eigenvalues
         return vecs[..., :, 0]
     elif method == "power":
-        M = jnp.einsum("...ri,...rj->...ij", A, A)
+        M = _gram(A)
         return _null_vector_power(M)
     elif method == "svd":
         _, _, vh = jnp.linalg.svd(A, full_matrices=False)
